@@ -1,0 +1,173 @@
+"""HTML text/link extraction: pinned pure-Python oracle + vectorized twin.
+
+The reference engine's only ingestion surface is a sectioned text-file
+loader (``pregel/loader.lua:58-130``); the north rule replaces it with
+extraction from Common-Crawl-style pages ``(url, warc_ts, html, text,
+lang)``. Per ``BASELINE.json input_hint`` the Spark-side extraction must
+be a vectorized pandas/Arrow UDF whose extracted text is byte-identical,
+per url, to a pinned pure-Python oracle.
+
+Both implementations share the same compiled regex *constants* but walk
+different execution paths (per-string ``re`` calls vs pandas ``.str``
+vectorized ops); ``tests/test_extraction.py`` asserts byte-identity over
+the synthetic corpus including adversarial documents.
+
+Extraction semantics (pinned — do not change without updating goldens):
+1. bytes -> str via UTF-8 with ``errors='replace'``
+2. drop ``<script>``/``<style>`` elements and HTML comments
+3. replace every remaining tag with a single space
+4. decode entities: named subset + decimal/hex numeric
+5. collapse Unicode whitespace runs to one space, strip ends
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+# --- pinned regex constants (shared by oracle and vectorized twin) ---
+SCRIPT_STYLE_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+TAG_RE = re.compile(r"(?s)<[^>]*>")
+WS_RE = re.compile(r"\s+")
+ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]+|#[0-9]+|[a-zA-Z][a-zA-Z0-9]*);")
+HREF_RE = re.compile(
+    r"(?is)<a\s[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))"
+)
+
+NAMED_ENTITIES = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": "\xa0",
+    "mdash": "—",
+    "ndash": "–",
+    "hellip": "…",
+    "copy": "©",
+}
+
+_SKIP_SCHEMES = ("mailto:", "javascript:", "tel:", "data:")
+
+
+def _entity_repl(m: re.Match) -> str:
+    body = m.group(1)
+    if body.startswith("#x") or body.startswith("#X"):
+        try:
+            cp = int(body[2:], 16)
+            return chr(cp) if 0 < cp <= 0x10FFFF else m.group(0)
+        except (ValueError, OverflowError):
+            return m.group(0)
+    if body.startswith("#"):
+        try:
+            cp = int(body[1:])
+            return chr(cp) if 0 < cp <= 0x10FFFF else m.group(0)
+        except (ValueError, OverflowError):
+            return m.group(0)
+    return NAMED_ENTITIES.get(body, m.group(0))
+
+
+def decode_html(html: bytes | str | None) -> str:
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return str(html)
+
+
+# ---------------------------------------------------------------------
+# Oracle tier: pure Python, one document at a time (the pinned target).
+# ---------------------------------------------------------------------
+
+def oracle_extract_text(html: bytes | str | None) -> str:
+    """Pinned per-document text extraction (the byte-identity target)."""
+    s = decode_html(html)
+    s = SCRIPT_STYLE_RE.sub(" ", s)
+    s = COMMENT_RE.sub(" ", s)
+    s = TAG_RE.sub(" ", s)
+    s = ENTITY_RE.sub(_entity_repl, s)
+    s = WS_RE.sub(" ", s).strip()
+    return s
+
+
+def _resolve_href(href: str, base_url: str) -> str | None:
+    href = href.strip()
+    if not href or href.startswith("#"):
+        return None
+    low = href.lower()
+    if any(low.startswith(p) for p in _SKIP_SCHEMES):
+        return None
+    try:
+        absu = urljoin(base_url, href)
+    except ValueError:
+        return None
+    absu = absu.split("#", 1)[0]
+    if not (absu.startswith("http://") or absu.startswith("https://")):
+        return None
+    return absu or None
+
+
+def oracle_extract_links(html: bytes | str | None, base_url: str) -> list[str]:
+    """Pinned per-document out-link extraction (absolute, fragment-free,
+    http(s) only, duplicates preserved in document order)."""
+    s = decode_html(html)
+    s = SCRIPT_STYLE_RE.sub(" ", s)
+    s = COMMENT_RE.sub(" ", s)
+    out: list[str] = []
+    for m in HREF_RE.finditer(s):
+        href = m.group(1) or m.group(2) or m.group(3) or ""
+        r = _resolve_href(href, base_url)
+        if r is not None:
+            out.append(r)
+    return out
+
+
+# ---------------------------------------------------------------------
+# Vectorized tier: pandas .str ops over Arrow batches (the fast twin).
+# ---------------------------------------------------------------------
+
+def _decode_series(html: pd.Series) -> pd.Series:
+    return html.map(decode_html)
+
+
+def extract_text_pandas(html: pd.Series) -> pd.Series:
+    """Vectorized twin of :func:`oracle_extract_text` over a batch."""
+    s = _decode_series(html)
+    s = s.str.replace(SCRIPT_STYLE_RE, " ", regex=True)
+    s = s.str.replace(COMMENT_RE, " ", regex=True)
+    s = s.str.replace(TAG_RE, " ", regex=True)
+    s = s.str.replace(ENTITY_RE, _entity_repl, regex=True)
+    s = s.str.replace(WS_RE, " ", regex=True).str.strip()
+    return s
+
+
+def extract_links_pandas(html: pd.Series, url: pd.Series) -> pd.Series:
+    """Vectorized twin of :func:`oracle_extract_links` over a batch."""
+    s = _decode_series(html)
+    s = s.str.replace(SCRIPT_STYLE_RE, " ", regex=True)
+    s = s.str.replace(COMMENT_RE, " ", regex=True)
+    raw = s.str.findall(HREF_RE)
+
+    def _resolve_row(pair: tuple[list, str]) -> list[str]:
+        matches, base = pair
+        out = []
+        for g1, g2, g3 in matches:
+            r = _resolve_href(g1 or g2 or g3 or "", base)
+            if r is not None:
+                out.append(r)
+        return out
+
+    return pd.Series(
+        [_resolve_row(p) for p in zip(raw.tolist(), url.tolist())],
+        index=html.index,
+    )
+
+
+# Spark-facing pandas UDFs (Arrow batch transfer, no per-row Python UDF).
+extract_text_udf = F.pandas_udf(extract_text_pandas, StringType())
+extract_links_udf = F.pandas_udf(extract_links_pandas, ArrayType(StringType()))

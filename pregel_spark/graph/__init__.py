@@ -1,0 +1,24 @@
+"""Graph layer: edge materialization, BSP engine, algorithms."""
+
+from .build import adjacency, degrees, edges_from_pages, undirect
+from .engine import Pregel, PregelResult
+from .pagerank import pagerank
+from .components import connected_components
+from .lpa import label_propagation
+from .triangles import triangle_count, triangle_count_per_vertex
+from .maxprop import max_propagation
+
+__all__ = [
+    "adjacency",
+    "degrees",
+    "edges_from_pages",
+    "undirect",
+    "Pregel",
+    "PregelResult",
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "triangle_count_per_vertex",
+    "max_propagation",
+]

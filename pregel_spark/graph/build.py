@@ -1,0 +1,100 @@
+"""Edge-table materialization and graph-shaped derivations.
+
+The reference embeds out-edges inside each vertex tuple
+(``pregel/vertex.lua:5-11``, ``pregel/worker.lua:424``); our engine
+normalizes that into a first-class ``edges(src, dst, weight)`` table —
+the north rule's edge table — plus derived CSR-blocked adjacency and
+degree tables.
+
+Scale notes:
+- ``edges_from_pages`` keeps extraction in one Arrow-batched pandas UDF
+  followed by ``explode`` — one scan, no per-row Python UDF; the
+  ``groupBy(src, dst)`` dedup is a single shuffle with map-side partial
+  aggregation.
+- ``adjacency`` is the reference's embedded adjacency recovered on
+  demand (``groupBy(src).agg(collect_list(...))``) for gather-scatter
+  kernels that want CSR blocking.
+- writes use ``repartition(n, src)`` so downstream joins on ``src``
+  start hash-aligned (the consistent-hash placement of
+  ``pregel/mpool.lua:29-42``, done with Spark's HashPartitioner).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..extraction import extract_links_udf
+
+
+def edges_from_pages(pages: DataFrame, weighted: bool = False) -> DataFrame:
+    """pages(url, html, ...) -> edges(src, dst, weight).
+
+    Duplicate links collapse to one edge; ``weighted=True`` keeps the
+    multiplicity as the weight (the reference's integer edge value,
+    ``pregel/loader.lua:105``), else weight = 1.0.
+    """
+    links = pages.select(
+        F.col("url").alias("src"),
+        F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    agg = links.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    if weighted:
+        return agg.select("src", "dst", F.col("n").cast("double").alias("weight"))
+    return agg.select("src", "dst", F.lit(1.0).alias("weight"))
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """Symmetrize + dedup: both directions present exactly once, no
+    self-loops. Used by CC / LPA / triangles (which treat the link graph
+    as undirected, per FIXTURES.md §6)."""
+    e = edges.select("src", "dst")
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return (
+        sym.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex out/in degrees: (id, out_deg, in_deg).
+
+    One shuffle per side + a full outer join; both aggregations benefit
+    from partial aggregation so hub skew collapses map-side.
+    """
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def vertices_from_edges(edges: DataFrame) -> DataFrame:
+    """Distinct vertex ids appearing as src or dst."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def adjacency(edges: DataFrame) -> DataFrame:
+    """CSR-blocked adjacency: (src, dsts array, weights array, deg).
+
+    The reference's in-tuple edge array (``pregel/vertex.lua:88-101``)
+    as a derived table; useful when a kernel wants one row per source.
+    """
+    return edges.groupBy("src").agg(
+        F.collect_list("dst").alias("dsts"),
+        F.collect_list("weight").alias("weights"),
+        F.count(F.lit(1)).alias("deg"),
+    )

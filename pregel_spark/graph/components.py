@@ -1,0 +1,116 @@
+"""Connected components by min-label propagation (undirected).
+
+The BSP analog of the reference's only in-tree algorithm (max-value
+propagation, ``example/test-worker.lua:25-43``) with ``min`` as the
+combiner and label = vertex id. Labels are compared as strings
+(lexicographic min) — the same total order the DuckDB/union-find
+oracles use, so assignments are exact.
+
+Frontier optimization (the reference's active-vertex filter F2,
+``pregel/worker.lua:143-146``): only vertices whose label improved last
+superstep scatter — the per-superstep join shrinks as the algorithm
+converges. Termination = empty frontier (quiescence,
+``pregel/master.lua:77-84``).
+
+Scale note: plain min-label needs O(component diameter) supersteps —
+fine for web graphs (small diameter); each superstep is one scatter
+join + one min-combine with map-side partial aggregation (hub-safe).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tableio import CheckpointManager
+from .build import undirect, vertices_from_edges
+from .engine import PregelResult, materialize
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 50,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+) -> PregelResult:
+    """Returns (id, component) — component = lexicographic min vertex id
+    reachable treating edges as undirected."""
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    run_id = run_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
+
+    ue = materialize(undirect(edges).select("src", "dst").repartition(n_part, "src"))
+    labels = materialize(
+        vertices_from_edges(edges)
+        .select("id", F.col("id").alias("component"))
+        .repartition(n_part, "id")
+    )
+    frontier = labels  # superstep 1: every vertex announces its label
+
+    start_step, metrics = 1, []
+    if resume and ckpt is not None:
+        latest = ckpt.latest()
+        if latest is not None:
+            st, fr, _meta = ckpt.load(spark, latest)
+            labels = materialize(st.repartition(n_part, "id"))
+            frontier = materialize(fr.repartition(n_part, "id")) if fr is not None else None
+            start_step = latest + 1
+
+    converged = False
+    superstep = start_step - 1
+    for superstep in range(start_step, max_iter + 1):
+        if frontier is None:
+            converged = True
+            superstep -= 1
+            break
+        t0 = time.monotonic()
+        # scatter J2 + min-combine A1 (combiner = min, pregel/queue.lua:39-52)
+        msgs = ue.join(frontier.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), F.col("component").alias("cand")
+        )
+        mins = msgs.groupBy("id").agg(F.min("cand").alias("cand"))
+        joined = labels.join(mins, "id", "left_outer")
+        nxt = materialize(
+            joined.select(
+                "id",
+                F.least(F.col("component"), F.coalesce("cand", F.col("component"))).alias(
+                    "component"
+                ),
+                (
+                    F.col("cand").isNotNull() & (F.col("cand") < F.col("component"))
+                ).alias("_changed"),
+            ).repartition(n_part, "id")
+        )
+        changed = nxt.filter(F.col("_changed")).count()
+        labels = nxt.select("id", "component")
+        frontier = nxt.filter(F.col("_changed")).select(
+            "id", "component"
+        ) if changed else None
+        metrics.append(
+            {
+                "run_id": run_id,
+                "superstep": superstep,
+                "wall_ms": (time.monotonic() - t0) * 1000,
+                "changed": changed,
+            }
+        )
+        if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
+            ckpt.save(superstep, labels, frontier, meta={"changed": changed})
+            ckpt.append_metrics(spark, metrics[-checkpoint_interval:])
+        if changed == 0:
+            converged = True
+            break
+
+    return PregelResult(
+        vertices=labels,
+        supersteps=superstep,
+        converged=converged,
+        metrics=metrics,
+        run_id=run_id,
+    )

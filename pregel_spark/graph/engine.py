@@ -1,0 +1,293 @@
+"""The BSP superstep engine: a driver-side loop over DataFrame jobs.
+
+Architecture (SURVEY.md §3.1): the Spark driver program plays the
+reference's *master* (``pregel/master.lua:54-88``); each superstep is
+one DataFrame job playing all *workers* (``pregel/worker.lua:140-180``).
+The mapping, operator by operator:
+
+- gather join (inbox lookup by receiver, ``pregel/vertex.lua:102-104``)
+  -> ``state ⟕ msgs_agg on id`` hash join;
+- message combine (``pregel/queue.lua:39-52``) -> ``groupBy(id).agg``
+  (Catalyst partial aggregation = the reference's sender-side combine);
+  no combiner -> hub-salted ``collect_list`` (skew.py);
+- active-vertex filter (``pregel/worker.lua:143-146``) -> keep a vertex
+  iff NOT (inbox empty AND halted); skipped rows pass through;
+- wake-before-compute (``pregel/worker.lua:158``) -> participating rows
+  enter compute with ``halted=false``;
+- the user ``compute`` callback (``pregel/worker.lua:159``) ->
+  Arrow-batched ``applyInPandas`` over hash buckets of vertices (the
+  generic tier; built-in algorithms use pure-expression kernels
+  instead);
+- double-buffered queues (``pregel/worker.lua:181-195``) -> loop
+  variable rebinding of immutable DataFrames;
+- global aggregators (``pregel/aggregator.lua``) -> driver-collected
+  scalar aggregates, visible next superstep (``README.md:274-279``);
+- termination: pending messages == 0 AND active vertices == 0
+  (``pregel/master.lua:77-84``), with a superstep cap (the example's
+  30, ``example/test-worker.lua:29``); superstep numbering starts at 1
+  (``pregel/master.lua:57``);
+- snapshots (``pregel/master.lua:101-103``) -> per-superstep parquet
+  checkpoints via ``CheckpointManager``, resumable.
+
+Scale notes: every loop-carried DataFrame is ``localCheckpoint``-ed
+each superstep — lineage truncation is mandatory for iterative Spark
+(plan growth is the #1 failure mode); state is hash-partitioned on
+``id`` with a constant partition count so the gather join starts
+aligned superstep over superstep (the consistent-hash placement of
+``pregel/mpool.lua:29-42``).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..tableio import CheckpointManager
+from .build import adjacency as build_adjacency
+from .skew import salted_collect_list
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage + cache: the per-superstep barrier materialization."""
+    return df.localCheckpoint(eager=True)
+
+
+@dataclass
+class ComputeContext:
+    """What the reference exposes via the vertex API, minus the vertex
+    itself: superstep counter (``pregel/vertex.lua:124-126``), global
+    aggregator values from the previous superstep
+    (``pregel/vertex.lua:127-129``), and the vertex count."""
+
+    superstep: int
+    aggregators: dict[str, float]
+    num_vertices: int
+
+
+@dataclass
+class PregelResult:
+    vertices: DataFrame
+    supersteps: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+    run_id: str = ""
+
+
+ComputeFn = Callable[[pd.DataFrame, ComputeContext], pd.DataFrame]
+
+def _make_apply_fn(compute: "ComputeFn", ctx: "ComputeContext"):
+    """applyInPandas requires a 1-arg function; close over (compute,
+    ctx) via a factory rather than default args (which break pyspark's
+    signature introspection)."""
+
+    def _fn(pdf):
+        res = compute(pdf, ctx)
+        return res[["id", "value", "halted", "out"]]
+
+    return _fn
+
+
+_COMBINERS: dict[str, Callable[[Column], Column]] = {
+    "sum": F.sum,
+    "max": F.max,
+    "min": F.min,
+}
+
+
+class Pregel:
+    """Generic vertex-centric BSP executor (the reference's U1-U4
+    callback surface, ``pregel/worker.lua:372-386``).
+
+    ``vertices``: DataFrame (id string, value <V>, halted boolean) —
+    ``halted`` optional, defaults false (``pregel/worker.lua:335``).
+    ``edges``: DataFrame (src, dst, weight); adjacency is CSR-blocked
+    into the compute input when ``with_adjacency``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        vertices: DataFrame,
+        edges: DataFrame | None = None,
+        num_partitions: int | None = None,
+        checkpoint_dir: str | None = None,
+        run_id: str | None = None,
+        checkpoint_interval: int = 5,
+        salt_buckets: int = 16,
+        hot_key_threshold: int = 1000,
+    ):
+        self.spark = spark
+        self.num_partitions = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        if "halted" not in vertices.columns:
+            vertices = vertices.withColumn("halted", F.lit(False))
+        self.vertices = vertices.select("id", "value", "halted")
+        self.edges = edges
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.ckpt = (
+            CheckpointManager(checkpoint_dir, self.run_id) if checkpoint_dir else None
+        )
+        self.checkpoint_interval = checkpoint_interval
+        self.salt_buckets = salt_buckets
+        self.hot_key_threshold = hot_key_threshold
+
+    # -- message plane -------------------------------------------------
+    def _aggregate_inbox(
+        self, msgs: DataFrame, combiner: str | Callable[[Column], Column] | None
+    ) -> DataFrame:
+        """(id, msg) -> (id, msgs array). With a combiner the inbox
+        collapses to one element (``pregel/queue.lua:39-52`` — at most
+        one message per receiver); without, a hub-salted collect_list
+        (the reference's squash-free enqueue, ``pregel/queue.lua:86``).
+        """
+        if combiner is not None:
+            agg = _COMBINERS[combiner] if isinstance(combiner, str) else combiner
+            folded = msgs.groupBy("id").agg(agg(F.col("msg")).alias("_m"))
+            return folded.select("id", F.array("_m").alias("msgs"))
+        hot = None
+        if self.hot_key_threshold > 0:
+            hot = (
+                msgs.groupBy("id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") >= self.hot_key_threshold)
+                .select("id")
+            )
+        return salted_collect_list(
+            msgs, "id", "msg", self.salt_buckets, hot_keys=hot
+        )
+
+    # -- the loop ------------------------------------------------------
+    def run(
+        self,
+        compute: ComputeFn,
+        value_type: str,
+        msg_type: str,
+        combiner: str | Callable[[Column], Column] | None = None,
+        initial_msgs: DataFrame | None = None,
+        max_supersteps: int = 30,
+        with_adjacency: bool = True,
+        aggregators: dict[str, tuple[float, Callable[[DataFrame], Column]]] | None = None,
+        resume: bool = False,
+    ) -> PregelResult:
+        spark = self.spark
+        n_part = self.num_partitions
+        out_schema = (
+            f"id string, value {value_type}, halted boolean, "
+            f"out array<struct<dst:string,msg:{msg_type}>>"
+        )
+        adj = None
+        if with_adjacency and self.edges is not None:
+            adj = materialize(
+                build_adjacency(self.edges).repartition(n_part, "src")
+            )
+
+        start_step = 1
+        agg_values = {k: v[0] for k, v in (aggregators or {}).items()}
+        state = materialize(self.vertices.repartition(n_part, "id"))
+        n_vertices = state.count()
+        msgs = initial_msgs
+        metrics: list[dict] = []
+
+        if resume and self.ckpt is not None:
+            latest = self.ckpt.latest()
+            if latest is not None:
+                st, ms, meta = self.ckpt.load(spark, latest)
+                state = materialize(st.repartition(n_part, "id"))
+                msgs = materialize(ms.repartition(n_part, "id")) if ms is not None else None
+                agg_values = meta.get("aggregators", agg_values)
+                n_vertices = meta.get("num_vertices", n_vertices)
+                start_step = latest + 1
+
+        converged = False
+        superstep = start_step - 1
+        for superstep in range(start_step, max_supersteps + 1):
+            t0 = time.monotonic()
+            if msgs is not None:
+                inbox = self._aggregate_inbox(msgs, combiner)
+                joined = state.join(inbox, "id", "left_outer")
+            else:
+                joined = state.withColumn(
+                    "msgs", F.lit(None).cast(f"array<{msg_type}>")
+                )
+            participate = (~F.col("halted")) | F.col("msgs").isNotNull()
+            passthrough = joined.filter(~participate).select("id", "value", "halted")
+            active_in = joined.filter(participate).withColumn(
+                "halted", F.lit(False)
+            )  # wake-before-compute (pregel/worker.lua:158)
+            if adj is not None:
+                active_in = active_in.join(
+                    adj.withColumnRenamed("src", "id"), "id", "left_outer"
+                )
+
+            ctx = ComputeContext(superstep, dict(agg_values), n_vertices)
+            _fn = _make_apply_fn(compute, ctx)
+
+            computed = (
+                active_in.groupBy(
+                    F.pmod(F.xxhash64("id"), F.lit(n_part)).alias("_bucket")
+                )
+                .applyInPandas(_fn, schema=out_schema)
+            )
+            computed = materialize(computed.repartition(n_part, "id"))
+
+            state = materialize(
+                computed.select("id", "value", "halted").unionByName(passthrough)
+                .repartition(n_part, "id")
+            )
+            msgs = materialize(
+                computed.select(F.explode("out").alias("o"))
+                .select(F.col("o.dst").alias("id"), F.col("o.msg").alias("msg"))
+                .filter(F.col("id").isNotNull())
+                .repartition(n_part, "id")
+            )
+
+            msg_cnt = msgs.count()
+            active_cnt = state.filter(~F.col("halted")).count()
+            if aggregators:
+                row = state.agg(
+                    *[fn(state).alias(k) for k, (_, fn) in aggregators.items()]
+                ).collect()[0]
+                agg_values = {k: row[k] for k in aggregators}
+            wall_ms = (time.monotonic() - t0) * 1000
+            metrics.append(
+                {
+                    "run_id": self.run_id,
+                    "superstep": superstep,
+                    "wall_ms": wall_ms,
+                    "msgs_out": msg_cnt,
+                    "active": active_cnt,
+                }
+            )
+            if self.ckpt is not None and (
+                superstep % self.checkpoint_interval == 0
+                or (msg_cnt == 0 and active_cnt == 0)
+            ):
+                self.ckpt.save(
+                    superstep,
+                    state,
+                    msgs,
+                    meta={
+                        "aggregators": agg_values,
+                        "num_vertices": n_vertices,
+                        "msgs_out": msg_cnt,
+                        "active": active_cnt,
+                    },
+                )
+                self.ckpt.append_metrics(spark, metrics[-self.checkpoint_interval :])
+            if msg_cnt == 0 and active_cnt == 0:
+                converged = True
+                break
+
+        return PregelResult(
+            vertices=state,
+            supersteps=superstep,
+            converged=converged,
+            metrics=metrics,
+            run_id=self.run_id,
+        )

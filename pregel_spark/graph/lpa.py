@@ -1,0 +1,108 @@
+"""Synchronous label propagation clustering (deterministic).
+
+Every superstep every vertex adopts the most frequent label among its
+neighbors (undirected), ties broken by the lexicographically smallest
+label (FIXTURES.md §6 — determinism is required for the exact oracle
+match; the classic randomized-async LPA is not reproducible). Vertices
+with no neighbors keep their label. Stops when no label changes or at
+``max_iter`` (sync LPA may oscillate on bipartite structures — the cap
+is part of the pinned semantics, oracle uses the same cap).
+
+Plan per superstep: scatter join + ``groupBy(id,label).count`` +
+windowed argmax (``row_number`` over count desc, label asc). The
+count aggregation gets map-side partial aggregation; the window is
+partitioned by vertex so no global sort.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..tableio import CheckpointManager
+from .build import undirect, vertices_from_edges
+from .engine import PregelResult, materialize
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 10,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+) -> PregelResult:
+    """Returns (id, label) after synchronous LPA."""
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    run_id = run_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
+
+    ue = materialize(undirect(edges).select("src", "dst").repartition(n_part, "src"))
+    labels = materialize(
+        vertices_from_edges(edges)
+        .select("id", F.col("id").alias("label"))
+        .repartition(n_part, "id")
+    )
+
+    start_step, metrics = 1, []
+    if resume and ckpt is not None:
+        latest = ckpt.latest()
+        if latest is not None:
+            st, _, _ = ckpt.load(spark, latest)
+            labels = materialize(st.repartition(n_part, "id"))
+            start_step = latest + 1
+
+    converged = False
+    superstep = start_step - 1
+    w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("cand"))
+    for superstep in range(start_step, max_iter + 1):
+        t0 = time.monotonic()
+        msgs = ue.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), F.col("label").alias("cand")
+        )
+        counts = msgs.groupBy("id", "cand").agg(F.count(F.lit(1)).alias("n"))
+        best = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("cand").alias("new_label"))
+        )
+        nxt = materialize(
+            labels.join(best, "id", "left_outer")
+            .select(
+                "id",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+                (
+                    F.col("new_label").isNotNull()
+                    & (F.col("new_label") != F.col("label"))
+                ).alias("_changed"),
+            )
+            .repartition(n_part, "id")
+        )
+        changed = nxt.filter(F.col("_changed")).count()
+        labels = nxt.select("id", "label")
+        metrics.append(
+            {
+                "run_id": run_id,
+                "superstep": superstep,
+                "wall_ms": (time.monotonic() - t0) * 1000,
+                "changed": changed,
+            }
+        )
+        if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
+            ckpt.save(superstep, labels, meta={"changed": changed})
+            ckpt.append_metrics(spark, metrics[-checkpoint_interval:])
+        if changed == 0:
+            converged = True
+            break
+
+    return PregelResult(
+        vertices=labels,
+        supersteps=superstep,
+        converged=converged,
+        metrics=metrics,
+        run_id=run_id,
+    )

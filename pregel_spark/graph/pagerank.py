@@ -1,0 +1,163 @@
+"""PageRank: the flagship native-expression BSP kernel.
+
+Semantics (FIXTURES.md §6, matching the NumPy power-iteration oracle):
+damping d=0.85; dangling mass redistributed uniformly; converged when
+``max |Δrank| < tol``. Each superstep:
+
+    r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u)  +  DM/N )
+    DM    = Σ_{dangling u} r(u)
+
+Spark plan per superstep (see module docstring of engine.py for the
+reference mapping):
+- scatter join J2: ``links ⋈ ranks`` on ``src`` — both sides hash-
+  partitioned on the key with the same partition count, so the
+  sort-merge join starts aligned (no extra exchange of the static,
+  cached ``links`` side);
+- gather+combine A1/J1: ``groupBy(dst).sum(contrib)`` — Catalyst's
+  partial aggregation is the map-side combine, which already collapses
+  hub skew for algebraic sums (see skew.py for why salting is not
+  needed here, and ``use_salted`` to force the two-phase path);
+- aggregator A3 (dangling mass) and the convergence test share ONE
+  driver action per superstep: ``agg(max(delta), sum(rank WHERE
+  dangling))`` — the reference needs a full barrier round-trip for the
+  same (``pregel/aggregator.lua``, ``pregel/master.lua:64-75``);
+- ``localCheckpoint`` each superstep truncates lineage (mandatory for
+  iterative Spark) and doubles as the snapshot of ``pregel/master.lua:
+  101-103`` when a ``checkpoint_dir`` is set (then resumable).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tableio import CheckpointManager
+from .build import vertices_from_edges
+from .engine import PregelResult, materialize
+from .skew import salted_sum
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    checkpoint_interval: int = 10,
+    resume: bool = False,
+    use_salted: bool = False,
+) -> PregelResult:
+    """Run PageRank to ``tol`` convergence (or exactly ``max_iter``
+    supersteps when ``tol=0``). Returns ranks as (id, rank)."""
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    run_id = run_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
+
+    # static structures: out-degree-normalized link shares, dangling flag.
+    # Multi-edges collapse (standard link-graph semantics; a no-op when
+    # the edge table was materialized deduped by edges_from_pages).
+    dedup = edges.select("src", "dst").distinct()
+    outdeg = dedup.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    links = materialize(
+        dedup
+        .join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("share"))
+        .repartition(n_part, "src")
+    )
+    verts = vertices_from_edges(edges)
+    n = verts.count()
+    if n == 0:
+        return PregelResult(
+            vertices=verts.select("id", F.lit(0.0).alias("rank")),
+            supersteps=0,
+            converged=True,
+            metrics=[],
+            run_id=run_id,
+        )
+    ranks = materialize(
+        verts.join(outdeg.withColumnRenamed("src", "id"), "id", "left_outer")
+        .select(
+            "id",
+            F.lit(1.0 / n).alias("rank"),
+            F.col("deg").isNull().alias("is_dangling"),
+        )
+        .repartition(n_part, "id")
+    )
+    row = ranks.agg(
+        F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("dm")
+    ).collect()[0]
+    dm = row["dm"] or 0.0
+
+    start_step, metrics = 1, []
+    if resume and ckpt is not None:
+        latest = ckpt.latest()
+        if latest is not None:
+            st, _, meta = ckpt.load(spark, latest)
+            ranks = materialize(st.repartition(n_part, "id"))
+            dm = meta["dm"]
+            n = meta["n"]
+            start_step = latest + 1
+
+    converged = False
+    superstep = start_step - 1
+    for superstep in range(start_step, max_iter + 1):
+        t0 = time.monotonic()
+        contribs = links.join(ranks.withColumnRenamed("id", "src"), "src").select(
+            "dst", (F.col("rank") * F.col("share")).alias("contrib")
+        )
+        if use_salted:
+            sums = salted_sum(contribs, "dst", "contrib").withColumnRenamed(
+                "sum_contrib", "s"
+            )
+        else:
+            sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        new_rank = (
+            F.lit((1.0 - d) / n)
+            + F.lit(d) * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
+        )
+        nxt = materialize(
+            ranks.join(sums.withColumnRenamed("dst", "id"), "id", "left_outer")
+            .select(
+                "id",
+                new_rank.alias("new_rank"),
+                F.abs(new_rank - F.col("rank")).alias("delta"),
+                "is_dangling",
+            )
+            .withColumnRenamed("new_rank", "rank")
+            .repartition(n_part, "id")
+        )
+        row = nxt.agg(
+            F.max("delta").alias("max_delta"),
+            F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("dm"),
+        ).collect()[0]
+        max_delta = row["max_delta"] or 0.0
+        dm = row["dm"] or 0.0
+        ranks = nxt.select("id", "rank", "is_dangling")
+        metrics.append(
+            {
+                "run_id": run_id,
+                "superstep": superstep,
+                "wall_ms": (time.monotonic() - t0) * 1000,
+                "delta_max": max_delta,
+            }
+        )
+        done = tol > 0 and max_delta < tol
+        if ckpt is not None and (superstep % checkpoint_interval == 0 or done):
+            ckpt.save(superstep, ranks, meta={"dm": dm, "n": n, "max_delta": max_delta})
+            ckpt.append_metrics(spark, metrics[-checkpoint_interval:])
+        if done:
+            converged = True
+            break
+
+    return PregelResult(
+        vertices=ranks.select("id", "rank"),
+        supersteps=superstep,
+        converged=converged,
+        metrics=metrics,
+        run_id=run_id,
+    )

@@ -1,0 +1,35 @@
+"""Training-data pipeline operators over document/embedding tables:
+deduplication, similarity search, text analysis, multimodal plumbing.
+
+All hot paths are native pyspark.sql.functions (JVM, whole-stage
+codegen); Python appears only as Arrow-batched pandas UDFs where a
+kernel is genuinely non-expressible (simhash bit packing, k-means
+assignment) — never per-row Python UDFs.
+"""
+
+from .textstats import fingerprint, language_id, quality_score, token_stats
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from .simsearch import brute_force_topk, ivf_topk
+from .multimodal import decode_media_batch, media_features
+
+__all__ = [
+    "fingerprint",
+    "language_id",
+    "quality_score",
+    "token_stats",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "simhash_pairs",
+    "brute_force_topk",
+    "ivf_topk",
+    "decode_media_batch",
+    "media_features",
+]

@@ -1,0 +1,280 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+- *exact*: one hash-groupBy shuffle (map-side partial agg).
+- *n-gram Jaccard*: candidate pairs via an inverted shingle index
+  (explode + self-join on shingle) — never all-pairs; frequent-shingle
+  blowup is capped by ``max_shingle_df`` (drop shingles whose document
+  frequency exceeds it — they carry no dedup signal, exactly the
+  stopword-posting cutoff classic near-dup pipelines use).
+- *MinHash+LSH*: signatures fully native (``transform`` + ``xxhash64``
+  + ``array_min`` inside codegen), banded bucketing joins only
+  same-bucket docs; verification re-checks true shingle Jaccard.
+- *SimHash*: 64-bit fingerprints via an Arrow-batched pandas UDF
+  (numpy bit ops — per-bit accumulation is not expressible as native
+  columns); candidate pairs by 16-bit-chunk pigeonhole banding, then
+  exact Hamming verify via native ``bit_count(a ^ b)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+
+# ------------------------------ shared -------------------------------
+
+def tokens_col(col: str = "text") -> Column:
+    return F.when(
+        F.length(F.trim(F.col(col))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(col)), r"\s+"))
+
+
+def shingles_col(k: int = 3, col: str = "text") -> Column:
+    """Distinct word k-gram shingles as array<string>."""
+    toks = tokens_col(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(sh)
+    )
+
+
+# ------------------------------ exact --------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Hash-group exact dedup: (h, keep_id = min id, n_dups)."""
+    return (
+        docs.select(F.md5(F.col("text")).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# -------------------------- n-gram Jaccard ---------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    Inverted-index join: |pairs| bounded by sum over shingles of df²,
+    with df capped at ``max_shingle_df``.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(k)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = sh.join(
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("sh"),
+        "sh",
+        "left_semi",
+    )
+    a = rare.select(F.col("sh"), F.col("id").alias("a"))
+    b = rare.select(F.col("sh"), F.col("id").alias("b"))
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# --------------------------- MinHash + LSH ---------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig array<long>) — sig[i] = min over shingles of
+    xxhash64(seed_i, shingle). Fully native (codegen'd lambda)."""
+    sh = shingles_col(k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.when(F.size(sh) == 0, F.lit(None)).otherwise(sig).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs from banded MinHash buckets, verified against
+    true shingle Jaccard. Returns (a, b, jaccard) with a < b."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k, id_col).filter(
+        F.col("sig").isNotNull()
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", bi * r + j + 1) for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    # verify: true Jaccard on shingle sets for candidates only
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_col(k).alias("shs")
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("id", "a").withColumnRenamed("shs", "sha"), "a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("shs", "shb"), "b")
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sha") + F.size("shb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return verified
+
+
+# ------------------------------ SimHash ------------------------------
+
+def _simhash_batch(it):
+    for pdf in it:
+        out_ids, out_fp = [], []
+        for doc_id, text in zip(pdf["id"], pdf["text"]):
+            toks = str(text).split() if text is not None else []
+            if not toks:
+                out_ids.append(doc_id)
+                out_fp.append(0)
+                continue
+            hs = np.array(
+                [np.uint64(hash64(t)) for t in toks], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    fp |= np.uint64(1) << np.uint64(b)
+            out_ids.append(doc_id)
+            out_fp.append(np.int64(fp).item())
+        yield pd.DataFrame({"id": out_ids, "fp": out_fp})
+
+
+def hash64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (stable across processes, unlike
+    Python's salted hash())."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, fp long) via Arrow-batched mapInPandas."""
+    inp = docs.select(F.col(id_col).alias("id"), "text")
+    return inp.mapInPandas(_simhash_batch, schema="id long, fp long")
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with Hamming(fp_a, fp_b) <= max_hamming.
+
+    Pigeonhole banding on four 16-bit chunks: any pair within Hamming
+    3 agrees on >=1 chunk, so the join touches only same-chunk buckets.
+    Exact distance check via native bit_count(xor).
+    """
+    fps = simhash_fingerprints(docs, id_col)
+    chunks = fps.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("fp", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cb"),
+    ).select("id", "fp", "cb.chunk", "cb.key")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.col("x.fp").alias("fpa"),
+            F.col("y.fp").alias("fpb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fpa").bitwiseXOR(F.col("fpb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,100 @@
+"""Text analysis over document tables — 100% native column expressions
+(JVM-side, whole-stage codegen; zero Python in the row path).
+
+Tokenization is pinned as whitespace splitting of the trimmed text —
+simple enough to be bit-reproducible in any engine (the DuckDB oracles
+in __spark_entry__.py run the same logic), fast enough for 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un"],
+    "es": ["el", "la", "y", "de", "que", "los", "es"],
+}
+
+PUNCT_RE = "[.!?,;:]"
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.when(
+        F.length(F.trim(F.col(col))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(col)), r"\s+"))
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len)."""
+    toks = _tokens()
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_text"),
+        F.round(
+            F.coalesce(
+                F.aggregate(
+                    F.transform(toks, lambda t: F.length(t).cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.greatest(F.size(toks), F.lit(1)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def _stop_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality in [0,1]: length signal + punctuation sanity +
+    stopword-density signal (pinned formula, mirrored by the oracle)."""
+    toks = _tokens()
+    n_tok = F.size(toks)
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0)))
+    punct_ratio = punct / F.greatest(F.length("text"), F.lit(1)).cast("double")
+    stop_ratio = _stop_hits(toks, STOPWORDS["en"]) / F.greatest(
+        n_tok, F.lit(1)
+    ).cast("double")
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(50.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10))
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * 5)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID; ties and zero votes -> 'und'.
+    Deterministic: argmax over (votes desc, lang asc)."""
+    toks = _tokens()
+    langs = sorted(STOPWORDS)
+    voted = docs.select(
+        F.col(id_col),
+        *[_stop_hits(toks, STOPWORDS[lg]).alias(f"v_{lg}") for lg in langs],
+    )
+    best = F.greatest(*[F.col(f"v_{lg}") for lg in langs])
+    pick = F.when(best == 0, F.lit("und"))
+    for lg in langs:  # asc order -> first match wins ties
+        pick = pick.when(F.col(f"v_{lg}") == best, F.lit(lg))
+    return voted.select(F.col(id_col), pick.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of case-folded, whitespace-collapsed
+    text — the canonical-form hash used for exact near-layout dedup."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select(F.col(id_col), F.md5(norm).alias("fp"))

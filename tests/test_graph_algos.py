@@ -1,0 +1,125 @@
+"""Algorithm correctness vs pure-Python/NumPy oracles (FIXTURES.md §6):
+PageRank allclose 1e-6, CC/LPA/triangles/maxprop exact."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pregel_spark.graph import (
+    connected_components,
+    label_propagation,
+    max_propagation,
+    pagerank,
+    triangle_count,
+    triangle_count_per_vertex,
+)
+from tests.conftest import edges_df
+from tests.graphs import (
+    CLIQUE_BRIDGE,
+    DANGLING_CHAIN,
+    TOY7,
+    components_oracle,
+    lpa_oracle,
+    maxprop_oracle,
+    pagerank_oracle,
+    powerlaw_hub,
+    triangles_oracle,
+    two_components,
+)
+
+
+def _ranks(df):
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+def assert_pagerank_matches(spark, pairs, **kw):
+    res = pagerank(spark, edges_df(spark, pairs), tol=1e-9, max_iter=200, **kw)
+    got = _ranks(res.vertices)
+    want = pagerank_oracle(pairs, tol=1e-12)
+    assert set(got) == set(want)
+    for v in want:
+        assert np.isclose(got[v], want[v], atol=1e-6), (v, got[v], want[v])
+    assert res.converged
+
+
+def test_pagerank_toy7(spark):
+    assert_pagerank_matches(spark, TOY7)
+
+
+def test_pagerank_dangling(spark):
+    # d and e are sinks: exercises the dangling-mass aggregator (A3)
+    assert_pagerank_matches(spark, DANGLING_CHAIN)
+
+
+def test_pagerank_two_components(spark):
+    assert_pagerank_matches(spark, two_components(n=30))
+
+
+def test_pagerank_salted_equals_plain(spark):
+    pairs = powerlaw_hub(n=300)
+    e = edges_df(spark, pairs)
+    plain = pagerank(spark, e, tol=0.0, max_iter=5)
+    salted = pagerank(spark, e, tol=0.0, max_iter=5, use_salted=True)
+    g1, g2 = _ranks(plain.vertices), _ranks(salted.vertices)
+    assert set(g1) == set(g2)
+    for v in g1:
+        assert np.isclose(g1[v], g2[v], atol=1e-12)
+
+
+def test_pagerank_fixed_k_matches_oracle_k(spark):
+    res = pagerank(spark, edges_df(spark, TOY7), tol=0.0, max_iter=3)
+    want = pagerank_oracle(TOY7, k=3)
+    got = _ranks(res.vertices)
+    for v in want:
+        assert np.isclose(got[v], want[v], atol=1e-12), v
+    assert res.supersteps == 3
+
+
+def test_connected_components(spark):
+    for pairs in (TOY7, two_components(n=30), CLIQUE_BRIDGE):
+        res = connected_components(spark, edges_df(spark, pairs))
+        got = {r["id"]: r["component"] for r in res.vertices.collect()}
+        assert got == components_oracle(pairs)
+        assert res.converged
+
+
+def test_label_propagation(spark):
+    for pairs in (TOY7, CLIQUE_BRIDGE):
+        res = label_propagation(spark, edges_df(spark, pairs), max_iter=10)
+        got = {r["id"]: r["label"] for r in res.vertices.collect()}
+        assert got == lpa_oracle(pairs, max_iter=10)
+
+
+def test_triangles_clique_bridge(spark):
+    e = edges_df(spark, CLIQUE_BRIDGE)
+    n = triangle_count(e).collect()[0]["n_triangles"]
+    assert n == 14  # K5=10 + K4=4, bridge adds 0
+    per = {r["id"]: r["triangles"] for r in triangle_count_per_vertex(e).collect()}
+    _, want = triangles_oracle(CLIQUE_BRIDGE)
+    assert per == want
+
+
+def test_triangles_toy_and_powerlaw(spark):
+    for pairs in (TOY7, powerlaw_hub(n=200)):
+        e = edges_df(spark, pairs)
+        total, per = triangles_oracle(pairs)
+        assert triangle_count(e).collect()[0]["n_triangles"] == total
+        got = {
+            r["id"]: r["triangles"]
+            for r in triangle_count_per_vertex(e).collect()
+        }
+        assert got == per
+
+
+def test_max_propagation_generic_tier(spark):
+    # values: deterministic per vertex; oracle = per-component max
+    pairs = TOY7
+    ids = sorted({x for e in pairs for x in e})
+    values = {v: (i * 37) % 101 for i, v in enumerate(ids)}
+    vdf = spark.createDataFrame(
+        [(v, values[v]) for v in ids], "id string, value long"
+    )
+    res = max_propagation(spark, vdf, edges_df(spark, pairs))
+    got = {r["id"]: r["value"] for r in res.vertices.collect()}
+    assert got == maxprop_oracle(pairs, values)
+    assert res.converged

@@ -1,0 +1,209 @@
+"""Pipeline operator correctness vs naive pure-Python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from pregel_spark.pipeline import (
+    brute_force_topk,
+    exact_dedup,
+    ivf_topk,
+    media_features,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_fingerprints,
+    simhash_pairs,
+    token_stats,
+)
+from pregel_spark.pipeline.dedup import hash64
+from pregel_spark.pipeline.multimodal import FEATURE_DIM, _fake_decode, make_fake_media
+
+DOCS = [
+    (0, "the cat sat on the mat", "en"),
+    (1, "the cat sat on the mat", "en"),          # exact dup of 0
+    (2, "the cat sat on the big mat", "en"),      # near dup of 0
+    (3, "completely different words entirely here now", "en"),
+    (4, "der hund lief durch den park heute", "de"),
+    (5, "the cat sat on the mat today", "en"),    # near dup of 0
+    (6, "", "en"),
+    (7, "one two", "en"),                          # shorter than shingle k
+    (8, "completely different words entirely here today", "en"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t, l) for i, t, l in DOCS], "doc_id long, text string, lang string"
+    )
+
+
+def _shingles(text, k=3):
+    toks = text.split()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _jaccard(a, b):
+    if not a and not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def test_exact_dedup(docs):
+    got = {r["h"]: (r["keep_id"], r["n"]) for r in exact_dedup(docs).collect()}
+    want = {}
+    groups = {}
+    for i, t, _ in DOCS:
+        groups.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append(i)
+    for h, ids in groups.items():
+        want[h] = (min(ids), len(ids))
+    assert got == want
+
+
+def test_ngram_jaccard_pairs(docs):
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, threshold=0.3, k=3).collect()}
+    want = {}
+    sh = {i: _shingles(t) for i, t, _ in DOCS}
+    for a, b in combinations(sorted(sh), 2):
+        if not sh[a] or not sh[b]:
+            continue
+        j = _jaccard(sh[a], sh[b])
+        if j >= 0.3:
+            want[(a, b)] = round(j, 6)
+    assert got.keys() == want.keys()
+    for p in want:
+        assert np.isclose(got[p], want[p], atol=1e-6)
+
+
+def test_minhash_lsh_finds_dups_and_verifies_exactly(docs):
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    sh = {i: _shingles(t) for i, t, _ in DOCS}
+    # exact dup must be found (identical signatures land in every band)
+    assert (0, 1) in got and np.isclose(got[(0, 1)], 1.0)
+    # every reported jaccard must equal the true jaccard (verification)
+    for (a, b), j in got.items():
+        assert np.isclose(j, round(_jaccard(sh[a], sh[b]), 6), atol=1e-6)
+    # LSH candidates are a subset of all >=threshold pairs (approx),
+    # but exact dups are guaranteed
+    assert all(j >= 0.3 for j in got.values())
+
+
+def test_simhash(docs):
+    fps = {r["id"]: r["fp"] for r in simhash_fingerprints(docs).collect()}
+
+    def oracle_fp(text):
+        toks = text.split()
+        if not toks:
+            return 0
+        votes = [0] * 64
+        for t in toks:
+            h = hash64(t)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        fp = 0
+        for b in range(64):
+            if votes[b] > 0:
+                fp |= 1 << b
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    for i, t, _ in DOCS:
+        assert fps[i] == oracle_fp(t), i
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0  # identical docs
+    for (a, b), h in pairs.items():
+        want = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+        assert h == want
+
+
+def _cosine(u, v):
+    u, v = np.asarray(u, float), np.asarray(v, float)
+    return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+
+def test_brute_force_topk(spark):
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(50, 8))
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter("vec_id < 3")
+    got = brute_force_topk(emb, queries, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["score"]))
+    for q in range(3):
+        sims = sorted(
+            ((round(_cosine(X[q], X[j]), 6), j) for j in range(50) if j != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        want = [(rk + 1, j, s) for rk, (s, j) in enumerate(sims)]
+        gotq = sorted(by_q[q])
+        assert [(a, b) for a, b, _ in gotq] == [(a, b) for a, b, _ in want]
+        for (_, _, gs), (_, _, ws) in zip(gotq, want):
+            assert np.isclose(gs, ws, atol=1e-6)
+
+
+def test_ivf_topk_recall(spark):
+    rng = np.random.default_rng(1)
+    # clustered data -> IVF recall should be high
+    centers = rng.normal(scale=5.0, size=(4, 8))
+    X = np.vstack([centers[i % 4] + rng.normal(size=8) for i in range(200)])
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter("vec_id < 5")
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_token_stats_and_quality(docs):
+    ts = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert ts[0]["n_tokens"] == 6
+    assert ts[6]["n_tokens"] == 0
+    assert ts[7]["n_tokens"] == 2
+    assert np.isclose(ts[7]["avg_token_len"], 3.0)
+    qs = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert 0.0 <= qs[0]["quality"] <= 1.0
+    assert qs[0]["stopword_ratio"] > qs[3]["stopword_ratio"]
+
+
+def test_media_plumbing(spark):
+    media = make_fake_media(spark, n=30)
+    feats = media_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    rows = media.collect()
+    for r in rows:
+        got = by_id[r["media_id"]]
+        want = _fake_decode(bytes(r["payload"]), r["kind"])
+        assert len(got["features"]) == FEATURE_DIM
+        assert np.allclose(got["features"], want)
+        assert got["n_bytes"] == len(r["payload"])
+
+
+def test_media_real_decoder_is_stubbed(spark):
+    media = make_fake_media(spark, n=3)
+    with pytest.raises(Exception):
+        media_features(media, decoder="real").collect()
