@@ -1,38 +1,568 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query (PageRank over an edge
+table derived from the sf0.001 tables). ``queries()`` exposes one
+callable per implemented operator (SURVEY.md §2 + pipeline ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (the driver cross-checks at sf=0.01).
+
+Conventions for oracle parity:
+- graph queries run over edge tables DERIVED deterministically from
+  the testdata tables by shared SQL (``EDGES_SQL`` for the bipartite
+  part-supplier graph; ``TRI_EDGES_SQL`` for a circulant customer
+  graph that actually contains triangles); the oracle embeds the same
+  derivation as a CTE, so both engines see the identical graph;
+- float results are rounded to 6 decimals on BOTH sides;
+- integer widths are aligned (Spark ``size``/``row_number`` are int32
+  -> DuckDB casts to INTEGER; ``count(*)`` is int64 on both);
+- every computed column is aliased identically on both sides.
+
+Iterative-to-convergence algorithms (full PageRank, CC, LPA, SimHash/
+MinHash whose hash seeds are engine-specific, IVF) are either checked
+via fixed-k unrolled SQL (pagerank_k3, lpa_k2), recursive CTEs
+(connected components, maxprop), or left rows-only where DuckDB can't
+express the kernel (minhash/simhash/ivf) — those have exact
+pure-Python oracles in tests/ instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# --- shared graph derivations (identical text runs on Spark + DuckDB) ---
+
+EDGES_SQL = """
+SELECT DISTINCT 'p' || CAST(l_partkey AS STRING) AS src,
+                's' || CAST(l_suppkey AS STRING) AS dst,
+                CAST(1.0 AS DOUBLE) AS weight
+FROM lineitem
+"""
+
+TRI_EDGES_SQL = """
+SELECT 'c' || CAST(c_custkey AS STRING) AS src,
+       'c' || CAST(c_custkey + 1 AS STRING) AS dst,
+       CAST(1.0 AS DOUBLE) AS weight
+FROM customer
+WHERE c_custkey + 1 <= (SELECT max(c_custkey) FROM customer)
+UNION ALL
+SELECT 'c' || CAST(c_custkey AS STRING) AS src,
+       'c' || CAST(c_custkey + 2 AS STRING) AS dst,
+       CAST(1.0 AS DOUBLE) AS weight
+FROM customer
+WHERE c_custkey + 2 <= (SELECT max(c_custkey) FROM customer)
+"""
+
+_UE_CTE = """
+ue AS (
+    SELECT src, dst FROM e0 WHERE src <> dst
+    UNION
+    SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst
+)
+"""
+
+_CC_CTE = """
+reach(id, lbl) AS (
+    SELECT src, src FROM ue
+    UNION
+    SELECT ue.dst, r.lbl FROM reach r JOIN ue ON ue.src = r.id
+),
+comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+"""
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).createOrReplaceTempView(t)
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(EDGES_SQL)
+
+
+def _tri_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(TRI_EDGES_SQL)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --------------------------- flagship ---------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank to 1e-6 over the sf0.001-derived edge table;
+    top-100 ranks with degrees."""
+    from pregel_spark.graph import degrees, pagerank
 
+    sf_dir = "/root/testdata/sf0.001"
+    edges = _edges(spark, sf_dir)
+    res = pagerank(spark, edges, tol=1e-6, max_iter=100)
+    deg = degrees(edges)
+    return (
+        res.vertices.join(deg, "id")
+        .select("id", F.round("rank", 6).alias("rank"), "out_deg", "in_deg")
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(100)
+    )
+
+
+# --------------------------- graph queries ----------------------------
+
+def q_edges_build(spark, sf_dir):
+    return _edges(spark, sf_dir)
+
+
+def q_degrees(spark, sf_dir):
+    from pregel_spark.graph import degrees
+
+    return degrees(_edges(spark, sf_dir))
+
+
+def q_pagerank_k3(spark, sf_dir):
+    from pregel_spark.graph import pagerank
+
+    res = pagerank(spark, _edges(spark, sf_dir), tol=0.0, max_iter=3)
+    return res.vertices.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_full(spark, sf_dir):
+    from pregel_spark.graph import pagerank
+
+    res = pagerank(spark, _edges(spark, sf_dir), tol=1e-6, max_iter=100)
+    return res.vertices.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_connected_components(spark, sf_dir):
+    from pregel_spark.graph import connected_components
+
+    res = connected_components(spark, _edges(spark, sf_dir))
+    return res.vertices.select("id", "component")
+
+
+def q_comp_sizes_topk(spark, sf_dir):
+    from pregel_spark.graph import connected_components
+
+    res = connected_components(spark, _edges(spark, sf_dir))
+    return (
+        res.vertices.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .orderBy(F.desc("sz"), F.asc("component"))
+        .limit(5)
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    from pregel_spark.graph import triangle_count
+
+    return triangle_count(_tri_edges(spark, sf_dir))
+
+
+def q_triangle_per_vertex(spark, sf_dir):
+    from pregel_spark.graph import triangle_count_per_vertex
+
+    return triangle_count_per_vertex(_tri_edges(spark, sf_dir))
+
+
+def q_lpa_k2(spark, sf_dir):
+    from pregel_spark.graph import label_propagation
+
+    res = label_propagation(spark, _tri_edges(spark, sf_dir), max_iter=2)
+    return res.vertices.select("id", "label")
+
+
+def q_maxprop(spark, sf_dir):
+    from pregel_spark.graph import max_propagation
+
+    edges = _edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.expr("CAST(substring(id, 2) AS BIGINT)").alias("value"))
+    )
+    res = max_propagation(spark, verts, edges)
+    return res.vertices.select("id", "value")
+
+
+# --------------------------- pipeline queries -------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from pregel_spark.pipeline import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from pregel_spark.pipeline import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1, k=3)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from pregel_spark.pipeline import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.1)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from pregel_spark.pipeline import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
+
+
+def q_fingerprint(spark, sf_dir):
+    from pregel_spark.pipeline import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    from pregel_spark.pipeline import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from pregel_spark.pipeline import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_language_id(spark, sf_dir):
+    from pregel_spark.pipeline import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_simsearch_topk(spark, sf_dir):
+    from pregel_spark.pipeline import brute_force_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 8)
+    return brute_force_topk(embs, queries, k=5)
+
+
+def q_simsearch_ivf(spark, sf_dir):
+    from pregel_spark.pipeline import ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 8)
+    return ivf_topk(embs, queries, k=5, n_centroids=16, nprobe=4)
+
+
+def q_media_features(spark, sf_dir):
+    from pregel_spark.pipeline import media_features
+    from pregel_spark.pipeline.multimodal import make_fake_media
+
+    return media_features(make_fake_media(spark, n=64))
+
+
+# --------------------------- relational -------------------------------
+
+PRICING_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+TOP_CUSTOMERS_SQL = """
+SELECT c.c_custkey AS custkey,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+ORDER BY revenue DESC, custkey ASC
+LIMIT 10
+"""
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS hour,
+       count(*) AS n,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def _sql_query(sql: str):
+    def run(spark, sf_dir):
+        _register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+# --------------------------- the contract -----------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "edges_build": q_edges_build,
+        "degrees": q_degrees,
+        "pagerank_k3": q_pagerank_k3,
+        "pagerank_full": q_pagerank_full,
+        "connected_components": q_connected_components,
+        "comp_sizes_topk": q_comp_sizes_topk,
+        "triangle_count": q_triangle_count,
+        "triangle_per_vertex": q_triangle_per_vertex,
+        "lpa_k2": q_lpa_k2,
+        "maxprop": q_maxprop,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "simsearch_topk": q_simsearch_topk,
+        "simsearch_ivf": q_simsearch_ivf,
+        "media_features": q_media_features,
+        "pricing_summary": _sql_query(PRICING_SQL),
+        "top_customers": _sql_query(TOP_CUSTOMERS_SQL),
+        "events_hourly": _sql_query(EVENTS_HOURLY_SQL),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    edges_cte = f"e0 AS ({EDGES_SQL})"
+    tri_cte = f"e0 AS ({TRI_EDGES_SQL})"
+    return {
+        "edges_build": EDGES_SQL,
+        "degrees": f"""
+WITH {edges_cte},
+out_d AS (SELECT src AS id, count(*) AS out_deg FROM e0 GROUP BY src),
+in_d AS (SELECT dst AS id, count(*) AS in_deg FROM e0 GROUP BY dst),
+ids AS (SELECT id FROM out_d UNION SELECT id FROM in_d)
+SELECT ids.id,
+       COALESCE(out_d.out_deg, 0) AS out_deg,
+       COALESCE(in_d.in_deg, 0) AS in_deg
+FROM ids LEFT JOIN out_d ON ids.id = out_d.id LEFT JOIN in_d ON ids.id = in_d.id
+""",
+        "pagerank_k3": f"""
+WITH {edges_cte},
+e AS (SELECT DISTINCT src, dst FROM e0),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 / nn AS rank FROM v CROSS JOIN n),
+d0 AS (SELECT COALESCE(sum(rank), 0.0) AS dm FROM r0 WHERE id NOT IN (SELECT src FROM od)),
+s1 AS (SELECT e.dst AS id, sum(r0.rank / od.c) AS s
+       FROM e JOIN od ON e.src = od.src JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+r1 AS (SELECT v.id, (1 - 0.85) / nn + 0.85 * (COALESCE(s1.s, 0.0) + d0.dm / nn) AS rank
+       FROM v CROSS JOIN n CROSS JOIN d0 LEFT JOIN s1 ON s1.id = v.id),
+d1 AS (SELECT COALESCE(sum(rank), 0.0) AS dm FROM r1 WHERE id NOT IN (SELECT src FROM od)),
+s2 AS (SELECT e.dst AS id, sum(r1.rank / od.c) AS s
+       FROM e JOIN od ON e.src = od.src JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+r2 AS (SELECT v.id, (1 - 0.85) / nn + 0.85 * (COALESCE(s2.s, 0.0) + d1.dm / nn) AS rank
+       FROM v CROSS JOIN n CROSS JOIN d1 LEFT JOIN s2 ON s2.id = v.id),
+d2 AS (SELECT COALESCE(sum(rank), 0.0) AS dm FROM r2 WHERE id NOT IN (SELECT src FROM od)),
+s3 AS (SELECT e.dst AS id, sum(r2.rank / od.c) AS s
+       FROM e JOIN od ON e.src = od.src JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+r3 AS (SELECT v.id, (1 - 0.85) / nn + 0.85 * (COALESCE(s3.s, 0.0) + d2.dm / nn) AS rank
+       FROM v CROSS JOIN n CROSS JOIN d2 LEFT JOIN s3 ON s3.id = v.id)
+SELECT id, round(rank, 6) AS rank FROM r3
+""",
+        "connected_components": f"""
+WITH RECURSIVE {edges_cte},
+{_UE_CTE},
+{_CC_CTE}
+SELECT id, component FROM comp
+""",
+        "comp_sizes_topk": f"""
+WITH RECURSIVE {edges_cte},
+{_UE_CTE},
+{_CC_CTE}
+SELECT component, count(*) AS sz FROM comp
+GROUP BY component ORDER BY sz DESC, component ASC LIMIT 5
+""",
+        "triangle_count": f"""
+WITH {tri_cte},
+{_UE_CTE},
+deg AS (SELECT src AS id, count(*) AS deg FROM ue GROUP BY src),
+ce AS (SELECT ue.src, ue.dst FROM ue
+       JOIN deg a ON a.id = ue.src JOIN deg b ON b.id = ue.dst
+       WHERE a.deg < b.deg OR (a.deg = b.deg AND ue.src < ue.dst)),
+wed AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        FROM ce e1 JOIN ce e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+tri AS (SELECT u, v, w FROM wed
+        JOIN (SELECT LEAST(src, dst) AS v, GREATEST(src, dst) AS w FROM ce) c
+        USING (v, w))
+SELECT count(*) AS n_triangles FROM tri
+""",
+        "triangle_per_vertex": f"""
+WITH {tri_cte},
+{_UE_CTE},
+deg AS (SELECT src AS id, count(*) AS deg FROM ue GROUP BY src),
+ce AS (SELECT ue.src, ue.dst FROM ue
+       JOIN deg a ON a.id = ue.src JOIN deg b ON b.id = ue.dst
+       WHERE a.deg < b.deg OR (a.deg = b.deg AND ue.src < ue.dst)),
+wed AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        FROM ce e1 JOIN ce e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+tri AS (SELECT u, v, w FROM wed
+        JOIN (SELECT LEAST(src, dst) AS v, GREATEST(src, dst) AS w FROM ce) c
+        USING (v, w)),
+credit AS (SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri),
+verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+cnt AS (SELECT id, count(*) AS triangles FROM credit GROUP BY id)
+SELECT verts.id, COALESCE(cnt.triangles, 0) AS triangles
+FROM verts LEFT JOIN cnt ON verts.id = cnt.id
+""",
+        "lpa_k2": f"""
+WITH {tri_cte},
+{_UE_CTE},
+v AS (SELECT src AS id FROM ue UNION SELECT dst FROM ue),
+l0 AS (SELECT id, id AS label FROM v),
+c1 AS (SELECT ue.dst AS id, l.label AS cand, count(*) AS n
+       FROM ue JOIN l0 l ON l.id = ue.src GROUP BY ue.dst, l.label),
+p1 AS (SELECT id, cand AS label FROM (
+         SELECT id, cand, ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, cand ASC) AS rn
+         FROM c1) t WHERE rn = 1),
+l1 AS (SELECT v.id, COALESCE(p1.label, v.id) AS label FROM v LEFT JOIN p1 ON p1.id = v.id),
+c2 AS (SELECT ue.dst AS id, l.label AS cand, count(*) AS n
+       FROM ue JOIN l1 l ON l.id = ue.src GROUP BY ue.dst, l.label),
+p2 AS (SELECT id, cand AS label FROM (
+         SELECT id, cand, ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, cand ASC) AS rn
+         FROM c2) t WHERE rn = 1)
+SELECT v.id, COALESCE(p2.label, v.id) AS label FROM v LEFT JOIN p2 ON p2.id = v.id
+""",
+        "maxprop": f"""
+WITH RECURSIVE {edges_cte},
+{_UE_CTE},
+{_CC_CTE},
+vals AS (SELECT id, CAST(substring(id, 2) AS BIGINT) AS value FROM comp),
+mx AS (SELECT c.component, max(vals.value) AS mv
+       FROM comp c JOIN vals ON vals.id = c.id GROUP BY c.component)
+SELECT c.id, mx.mv AS value FROM comp c JOIN mx ON mx.component = c.component
+""",
+        "dedup_exact": """
+SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_ngram_jaccard": r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0),
+sh0 AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS shs
+    FROM toks WHERE len(w) >= 3),
+sh AS (SELECT doc_id AS id, unnest(shs) AS sh FROM sh0),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+dfreq AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+rare AS (SELECT s.id, s.sh FROM sh s JOIN dfreq ON s.sh = dfreq.sh WHERE dfreq.c <= 100),
+inter AS (SELECT x.id AS a, y.id AS b, count(*) AS i
+          FROM rare x JOIN rare y ON x.sh = y.sh AND x.id < y.id
+          GROUP BY x.id, y.id),
+j AS (SELECT a, b,
+             round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+      FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b)
+SELECT a, b, jaccard FROM j WHERE jaccard >= 0.1
+""",
+        "fingerprint": r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+        "token_stats": r"""
+WITH t AS (
+    SELECT doc_id,
+           length(text) AS n_chars_text,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS w
+    FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS INTEGER) AS n_tokens,
+       CAST(n_chars_text AS INTEGER) AS n_chars_text,
+       round(COALESCE(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))), 0.0)
+             / greatest(len(w), 1), 6) AS avg_token_len
+FROM t
+""",
+        "quality_score": r"""
+WITH t AS (
+    SELECT doc_id, text,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS w
+    FROM documents),
+m AS (
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           len(regexp_extract_all(text, '[.!?,;:]'))
+             / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+           len(list_filter(w, x -> list_contains(
+                 ['the','a','and','of','to','in','is','it'], lower(x))))
+             / CAST(greatest(len(w), 1) AS DOUBLE) AS stop_ratio
+    FROM t)
+SELECT doc_id,
+       n_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(0.4 * least(1.0, n_tokens / 50.0)
+             + 0.3 * (1.0 - least(1.0, punct_ratio * 10))
+             + 0.3 * least(1.0, stop_ratio * 5), 6) AS quality
+FROM m
+""",
+        "language_id": r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS w
+    FROM documents),
+v AS (
+    SELECT doc_id,
+           len(list_filter(w, x -> list_contains(['der','die','und','das','ist','ein','nicht'], lower(x)))) AS v_de,
+           len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it'], lower(x)))) AS v_en,
+           len(list_filter(w, x -> list_contains(['el','la','y','de','que','los','es'], lower(x)))) AS v_es,
+           len(list_filter(w, x -> list_contains(['le','la','et','les','des','est','un'], lower(x)))) AS v_fr
+    FROM t)
+SELECT doc_id,
+       CASE WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
+            WHEN v_de = greatest(v_de, v_en, v_es, v_fr) THEN 'de'
+            WHEN v_en = greatest(v_de, v_en, v_es, v_fr) THEN 'en'
+            WHEN v_es = greatest(v_de, v_en, v_es, v_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM v
+""",
+        "simsearch_topk": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])), 6) AS score
+    FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id),
+ranked AS (
+    SELECT query_id, neighbor_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+""",
+        "pricing_summary": PRICING_SQL,
+        "top_customers": TOP_CUSTOMERS_SQL,
+        "events_hourly": EVENTS_HOURLY_SQL,
+        # rows-only (non-SQL-expressible; exact pytest oracles instead):
+        # pagerank_full, dedup_minhash, dedup_simhash, simsearch_ivf,
+        # media_features
+    }

@@ -1,0 +1,98 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full plan executes,
+nothing collects to the driver). PageRank also reports edges/sec and
+supersteps — the north metric (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from pregel_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "edges_build",
+    "degrees",
+    "pagerank_full",
+    "connected_components",
+    "triangle_count",
+    "lpa_k2",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "token_stats",
+    "quality_score",
+    "simsearch_topk",
+    "pricing_summary",
+    "events_hourly",
+]
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark(
+        "pregel_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        force(df)
+        timings[name] = round(time.monotonic() - t0, 3)
+    # north metric: PageRank edges/sec + supersteps/hour at this SF
+    from pregel_spark.graph import pagerank
+
+    edges = entrymod._edges(spark, SF_DIR)
+    n_edges = edges.count()
+    t0 = time.monotonic()
+    res = pagerank(spark, edges, tol=1e-6, max_iter=100)
+    res.vertices.write.format("noop").mode("overwrite").save()
+    wall = time.monotonic() - t0
+    extra["pagerank_supersteps"] = res.supersteps
+    extra["pagerank_wall_sec"] = round(wall, 3)
+    extra["pagerank_edges_per_sec"] = round(n_edges * res.supersteps / wall, 1)
+    extra["pagerank_supersteps_per_hour"] = round(res.supersteps / wall * 3600, 1)
+    extra["n_edges"] = n_edges
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pagerank": extra,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

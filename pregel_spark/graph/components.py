@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tableio import CheckpointManager
 from .build import undirect, vertices_from_edges
-from .engine import PregelResult, materialize
+from .engine import PregelResult, bsp_loop_confs, materialize
 
 
 def connected_components(
@@ -62,50 +62,51 @@ def connected_components(
             frontier = materialize(fr.repartition(n_part, "id")) if fr is not None else None
             start_step = latest + 1
 
-    converged = False
-    superstep = start_step - 1
-    for superstep in range(start_step, max_iter + 1):
-        if frontier is None:
-            converged = True
-            superstep -= 1
-            break
-        t0 = time.monotonic()
-        # scatter J2 + min-combine A1 (combiner = min, pregel/queue.lua:39-52)
-        msgs = ue.join(frontier.withColumnRenamed("id", "src"), "src").select(
-            F.col("dst").alias("id"), F.col("component").alias("cand")
-        )
-        mins = msgs.groupBy("id").agg(F.min("cand").alias("cand"))
-        joined = labels.join(mins, "id", "left_outer")
-        nxt = materialize(
-            joined.select(
-                "id",
-                F.least(F.col("component"), F.coalesce("cand", F.col("component"))).alias(
-                    "component"
-                ),
-                (
-                    F.col("cand").isNotNull() & (F.col("cand") < F.col("component"))
-                ).alias("_changed"),
-            ).repartition(n_part, "id")
-        )
-        changed = nxt.filter(F.col("_changed")).count()
-        labels = nxt.select("id", "component")
-        frontier = nxt.filter(F.col("_changed")).select(
-            "id", "component"
-        ) if changed else None
-        metrics.append(
-            {
-                "run_id": run_id,
-                "superstep": superstep,
-                "wall_ms": (time.monotonic() - t0) * 1000,
-                "changed": changed,
-            }
-        )
-        if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
-            ckpt.save(superstep, labels, frontier, meta={"changed": changed})
-            ckpt.append_metrics(spark, metrics[-checkpoint_interval:])
-        if changed == 0:
-            converged = True
-            break
+    with bsp_loop_confs(spark):
+        converged = False
+        superstep = start_step - 1
+        for superstep in range(start_step, max_iter + 1):
+            if frontier is None:
+                converged = True
+                superstep -= 1
+                break
+            t0 = time.monotonic()
+            # scatter J2 + min-combine A1 (combiner = min, pregel/queue.lua:39-52)
+            msgs = ue.join(frontier.withColumnRenamed("id", "src"), "src").select(
+                F.col("dst").alias("id"), F.col("component").alias("cand")
+            )
+            mins = msgs.groupBy("id").agg(F.min("cand").alias("cand"))
+            joined = labels.join(mins, "id", "left_outer")
+            nxt = materialize(
+                joined.select(
+                    "id",
+                    F.least(F.col("component"), F.coalesce("cand", F.col("component"))).alias(
+                        "component"
+                    ),
+                    (
+                        F.col("cand").isNotNull() & (F.col("cand") < F.col("component"))
+                    ).alias("_changed"),
+                ).repartition(n_part, "id")
+            )
+            changed = nxt.filter(F.col("_changed")).count()
+            labels = nxt.select("id", "component")
+            frontier = nxt.filter(F.col("_changed")).select(
+                "id", "component"
+            ) if changed else None
+            metrics.append(
+                {
+                    "run_id": run_id,
+                    "superstep": superstep,
+                    "wall_ms": (time.monotonic() - t0) * 1000,
+                    "changed": changed,
+                }
+            )
+            if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
+                ckpt.save(superstep, labels, frontier, meta={"changed": changed})
+                ckpt.append_metrics(spark, metrics[-checkpoint_interval:])
+            if changed == 0:
+                converged = True
+                break
 
     return PregelResult(
         vertices=labels,

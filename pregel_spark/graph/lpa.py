@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..tableio import CheckpointManager
 from .build import undirect, vertices_from_edges
-from .engine import PregelResult, materialize
+from .engine import PregelResult, bsp_loop_confs, materialize
 
 
 def label_propagation(
@@ -56,48 +56,49 @@ def label_propagation(
             labels = materialize(st.repartition(n_part, "id"))
             start_step = latest + 1
 
-    converged = False
-    superstep = start_step - 1
-    w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("cand"))
-    for superstep in range(start_step, max_iter + 1):
-        t0 = time.monotonic()
-        msgs = ue.join(labels.withColumnRenamed("id", "src"), "src").select(
-            F.col("dst").alias("id"), F.col("label").alias("cand")
-        )
-        counts = msgs.groupBy("id", "cand").agg(F.count(F.lit(1)).alias("n"))
-        best = (
-            counts.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("id", F.col("cand").alias("new_label"))
-        )
-        nxt = materialize(
-            labels.join(best, "id", "left_outer")
-            .select(
-                "id",
-                F.coalesce("new_label", F.col("label")).alias("label"),
-                (
-                    F.col("new_label").isNotNull()
-                    & (F.col("new_label") != F.col("label"))
-                ).alias("_changed"),
+    with bsp_loop_confs(spark):
+        converged = False
+        superstep = start_step - 1
+        w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("cand"))
+        for superstep in range(start_step, max_iter + 1):
+            t0 = time.monotonic()
+            msgs = ue.join(labels.withColumnRenamed("id", "src"), "src").select(
+                F.col("dst").alias("id"), F.col("label").alias("cand")
             )
-            .repartition(n_part, "id")
-        )
-        changed = nxt.filter(F.col("_changed")).count()
-        labels = nxt.select("id", "label")
-        metrics.append(
-            {
-                "run_id": run_id,
-                "superstep": superstep,
-                "wall_ms": (time.monotonic() - t0) * 1000,
-                "changed": changed,
-            }
-        )
-        if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
-            ckpt.save(superstep, labels, meta={"changed": changed})
-            ckpt.append_metrics(spark, metrics[-checkpoint_interval:])
-        if changed == 0:
-            converged = True
-            break
+            counts = msgs.groupBy("id", "cand").agg(F.count(F.lit(1)).alias("n"))
+            best = (
+                counts.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("id", F.col("cand").alias("new_label"))
+            )
+            nxt = materialize(
+                labels.join(best, "id", "left_outer")
+                .select(
+                    "id",
+                    F.coalesce("new_label", F.col("label")).alias("label"),
+                    (
+                        F.col("new_label").isNotNull()
+                        & (F.col("new_label") != F.col("label"))
+                    ).alias("_changed"),
+                )
+                .repartition(n_part, "id")
+            )
+            changed = nxt.filter(F.col("_changed")).count()
+            labels = nxt.select("id", "label")
+            metrics.append(
+                {
+                    "run_id": run_id,
+                    "superstep": superstep,
+                    "wall_ms": (time.monotonic() - t0) * 1000,
+                    "changed": changed,
+                }
+            )
+            if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
+                ckpt.save(superstep, labels, meta={"changed": changed})
+                ckpt.append_metrics(spark, metrics[-checkpoint_interval:])
+            if changed == 0:
+                converged = True
+                break
 
     return PregelResult(
         vertices=labels,

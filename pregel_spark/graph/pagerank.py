@@ -20,10 +20,16 @@ reference mapping):
 - aggregator A3 (dangling mass) and the convergence test share ONE
   driver action per superstep: ``agg(max(delta), sum(rank WHERE
   dangling))`` — the reference needs a full barrier round-trip for the
-  same (``pregel/aggregator.lua``, ``pregel/master.lua:64-75``);
-- ``localCheckpoint`` each superstep truncates lineage (mandatory for
-  iterative Spark) and doubles as the snapshot of ``pregel/master.lua:
-  101-103`` when a ``checkpoint_dir`` is set (then resumable).
+  same (``pregel/aggregator.lua``, ``pregel/master.lua:64-75``); that
+  action also fills the new ranks' cache, so steady-state supersteps
+  are a single Spark job;
+- loop-carried ranks are ``localCheckpoint``-ed every superstep:
+  the new state references the old state twice (rank update + delta),
+  so an uncut plan doubles per iteration — see ``StepMaterializer``
+  for the measurement; AQE is disabled inside the loop
+  (``bsp_loop_confs``, ~2x per-superstep overhead for zero benefit on
+  fixed-shape jobs); parquet snapshots via ``checkpoint_dir`` make
+  runs resumable (``pregel/master.lua:101-103``).
 """
 
 from __future__ import annotations
@@ -35,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tableio import CheckpointManager
 from .build import vertices_from_edges
-from .engine import PregelResult, materialize
+from .engine import PregelResult, StepMaterializer, bsp_loop_confs, materialize
 from .skew import salted_sum
 
 
@@ -51,6 +57,7 @@ def pagerank(
     checkpoint_interval: int = 10,
     resume: bool = False,
     use_salted: bool = False,
+    lineage_cut_interval: int = 1,
 ) -> PregelResult:
     """Run PageRank to ``tol`` convergence (or exactly ``max_iter``
     supersteps when ``tol=0``). Returns ranks as (id, rank)."""
@@ -63,12 +70,16 @@ def pagerank(
     # the edge table was materialized deduped by edges_from_pages).
     dedup = edges.select("src", "dst").distinct()
     outdeg = dedup.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    links = materialize(
-        dedup
-        .join(outdeg, "src")
+    # persist (NOT localCheckpoint): keeps hashpartitioning(src) visible
+    # to Catalyst, so the per-superstep scatter join never re-exchanges
+    # this O(E) side — only the O(V) ranks side shuffles.
+    links = (
+        dedup.join(outdeg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("share"))
         .repartition(n_part, "src")
+        .persist()
     )
+    links.count()
     verts = vertices_from_edges(edges)
     n = verts.count()
     if n == 0:
@@ -79,7 +90,8 @@ def pagerank(
             metrics=[],
             run_id=run_id,
         )
-    ranks = materialize(
+    stepm = StepMaterializer(cut_interval=lineage_cut_interval)
+    ranks = (
         verts.join(outdeg.withColumnRenamed("src", "id"), "id", "left_outer")
         .select(
             "id",
@@ -87,11 +99,13 @@ def pagerank(
             F.col("deg").isNull().alias("is_dangling"),
         )
         .repartition(n_part, "id")
+        .persist()
     )
     row = ranks.agg(
         F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("dm")
     ).collect()[0]
     dm = row["dm"] or 0.0
+    stepm.advance(ranks, superstep=1)  # initial state is persisted
 
     start_step, metrics = 1, []
     if resume and ckpt is not None:
@@ -103,57 +117,63 @@ def pagerank(
             n = meta["n"]
             start_step = latest + 1
 
-    converged = False
-    superstep = start_step - 1
-    for superstep in range(start_step, max_iter + 1):
-        t0 = time.monotonic()
-        contribs = links.join(ranks.withColumnRenamed("id", "src"), "src").select(
-            "dst", (F.col("rank") * F.col("share")).alias("contrib")
-        )
-        if use_salted:
-            sums = salted_sum(contribs, "dst", "contrib").withColumnRenamed(
-                "sum_contrib", "s"
+    with bsp_loop_confs(spark):
+        converged = False
+        superstep = start_step - 1
+        for superstep in range(start_step, max_iter + 1):
+            t0 = time.monotonic()
+            contribs = links.join(ranks.withColumnRenamed("id", "src"), "src").select(
+                "dst", (F.col("rank") * F.col("share")).alias("contrib")
             )
-        else:
-            sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
-        new_rank = (
-            F.lit((1.0 - d) / n)
-            + F.lit(d) * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
-        )
-        nxt = materialize(
-            ranks.join(sums.withColumnRenamed("dst", "id"), "id", "left_outer")
-            .select(
-                "id",
-                new_rank.alias("new_rank"),
-                F.abs(new_rank - F.col("rank")).alias("delta"),
-                "is_dangling",
+            if use_salted:
+                sums = salted_sum(contribs, "dst", "contrib").withColumnRenamed(
+                    "sum_contrib", "s"
+                )
+            else:
+                sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
+            new_rank = (
+                F.lit((1.0 - d) / n)
+                + F.lit(d) * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
             )
-            .withColumnRenamed("new_rank", "rank")
-            .repartition(n_part, "id")
-        )
-        row = nxt.agg(
-            F.max("delta").alias("max_delta"),
-            F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("dm"),
-        ).collect()[0]
-        max_delta = row["max_delta"] or 0.0
-        dm = row["dm"] or 0.0
-        ranks = nxt.select("id", "rank", "is_dangling")
-        metrics.append(
-            {
-                "run_id": run_id,
-                "superstep": superstep,
-                "wall_ms": (time.monotonic() - t0) * 1000,
-                "delta_max": max_delta,
-            }
-        )
-        done = tol > 0 and max_delta < tol
-        if ckpt is not None and (superstep % checkpoint_interval == 0 or done):
-            ckpt.save(superstep, ranks, meta={"dm": dm, "n": n, "max_delta": max_delta})
-            ckpt.append_metrics(spark, metrics[-checkpoint_interval:])
-        if done:
-            converged = True
-            break
+            nxt = stepm.step(
+                ranks.join(sums.withColumnRenamed("dst", "id"), "id", "left_outer")
+                .select(
+                    "id",
+                    new_rank.alias("new_rank"),
+                    F.abs(new_rank - F.col("rank")).alias("delta"),
+                    "is_dangling",
+                )
+                .withColumnRenamed("new_rank", "rank"),
+                superstep,
+            )
+            row = nxt.agg(
+                F.max("delta").alias("max_delta"),
+                F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("dm"),
+            ).collect()[0]
+            max_delta = row["max_delta"] or 0.0
+            dm = row["dm"] or 0.0
+            stepm.advance(nxt, superstep)
+            ranks = nxt.select("id", "rank", "is_dangling")
+            metrics.append(
+                {
+                    "run_id": run_id,
+                    "superstep": superstep,
+                    "wall_ms": (time.monotonic() - t0) * 1000,
+                    "delta_max": max_delta,
+                }
+            )
+            done = tol > 0 and max_delta < tol
+            if ckpt is not None and (superstep % checkpoint_interval == 0 or done):
+                ckpt.save(superstep, ranks, meta={"dm": dm, "n": n, "max_delta": max_delta})
+                ckpt.append_metrics(spark, metrics[-checkpoint_interval:])
+            if done:
+                converged = True
+                break
 
+    # final state is materialized (cached/checkpointed); the static link
+    # table is no longer needed — free executor storage.
+    ranks = materialize(ranks.select("id", "rank", "is_dangling"))
+    links.unpersist()
     return PregelResult(
         vertices=ranks.select("id", "rank"),
         supersteps=superstep,

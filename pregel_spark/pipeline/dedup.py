@@ -117,17 +117,23 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, sig array<long>) — sig[i] = min over shingles of
-    xxhash64(seed_i, shingle). Fully native (codegen'd lambda)."""
-    sh = shingles_col(k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
+    xxhash64(seed_i, shingle).
+
+    Shape: explode shingles to rows, then ONE aggregation with
+    ``num_hashes`` min() functions. (A pure-expression variant —
+    ``array(*[array_min(transform(shingles, ...))])`` — inlines the
+    shingle subexpression ``num_hashes`` times after projection
+    collapse: measured 75s for 500 docs vs <2s for this shape.) The
+    explode also keeps rows narrow at 100 TB: partial aggregation
+    collapses each map partition to one row per doc before the
+    shuffle."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(k)).alias("sh")
     )
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.when(F.size(sh) == 0, F.lit(None)).otherwise(sig).alias("sig"),
+    return sh.groupBy("id").agg(
+        F.array(
+            *[F.min(F.xxhash64(F.lit(i), F.col("sh"))) for i in range(num_hashes)]
+        ).alias("sig")
     )
 
 
