@@ -7,8 +7,20 @@ from .components import connected_components
 from .lpa import label_propagation
 from .triangles import triangle_count, triangle_count_per_vertex
 from .maxprop import max_propagation
+from .mutations import (
+    add_edges,
+    add_vertices,
+    apply_mutations,
+    delete_edges,
+    delete_vertices,
+)
 
 __all__ = [
+    "add_edges",
+    "add_vertices",
+    "apply_mutations",
+    "delete_edges",
+    "delete_vertices",
     "adjacency",
     "degrees",
     "edges_from_pages",

@@ -86,7 +86,7 @@ def connected_components(
                     (
                         F.col("cand").isNotNull() & (F.col("cand") < F.col("component"))
                     ).alias("_changed"),
-                ).repartition(n_part, "id")
+                )
             )
             changed = nxt.filter(F.col("_changed")).count()
             labels = nxt.select("id", "component")

@@ -60,22 +60,37 @@ def materialize(df: DataFrame) -> DataFrame:
 
 @contextmanager
 def bsp_loop_confs(spark: SparkSession):
-    """Disable AQE for the duration of a BSP loop.
+    """Loop-scoped Spark confs for BSP supersteps. Measured effects:
 
-    Measured on this engine: AQE's per-query re-planning adds ~2x wall
-    overhead per superstep (479ms -> 193ms on toy graphs, 349 -> 198 on
-    a 2k-vertex power-law graph) while buying nothing — superstep jobs
-    have a fixed, known shape and sizes change slowly between
-    iterations. AQE stays on outside loops where it earns its keep
-    (one-shot scans, skewed ad-hoc joins).
+    - AQE off: adaptive re-planning adds ~2x wall per superstep
+      (479ms -> 193ms on toy graphs) and buys nothing — superstep jobs
+      have a fixed, known shape.
+    - Broadcast threshold down to 4 MB: with the default threshold a
+      1M-vertex rank table broadcasts on EVERY superstep, and the
+      broadcast build (driver-side collect + hashed-relation build +
+      ship) is serial — measured scaling efficiency collapsed to 0.33
+      at 20M edges because cores idle behind it. Genuinely tiny
+      frontiers still broadcast.
+    - Prefer shuffled-hash over sort-merge join: SMJ re-sorts the O(E)
+      link table every superstep; SHJ builds a hash map per partition
+      from the small loop-carried side instead.
+
+    AQE and the 64 MB broadcast threshold stay on outside loops where
+    they earn their keep (one-shot scans, skewed ad-hoc joins).
     """
-    key = "spark.sql.adaptive.enabled"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "false")
+    keys = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(4 * 1024 * 1024),
+        "spark.sql.join.preferSortMergeJoin": "false",
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 class StepMaterializer:

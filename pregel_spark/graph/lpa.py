@@ -81,8 +81,7 @@ def label_propagation(
                         & (F.col("new_label") != F.col("label"))
                     ).alias("_changed"),
                 )
-                .repartition(n_part, "id")
-            )
+                )
             changed = nxt.filter(F.col("_changed")).count()
             labels = nxt.select("id", "label")
             metrics.append(

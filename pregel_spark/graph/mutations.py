@@ -1,0 +1,90 @@
+"""Topology mutation utilities (the reference's graph DML, SURVEY §2.7).
+
+The reference defers all mutations to the superstep barrier and applies
+them in a fixed order — delete-edges, delete-vertices, add-vertices,
+add-edges — for deterministic conflict resolution
+(``pregel/worker.lua:196-309``; API ``pregel/vertex.lua:140-210``).
+``apply_mutations`` reproduces that order over (vertices, edges)
+DataFrames; individual ops are exposed for direct use.
+
+All ops are single anti-joins / unions — no custom code paths; at
+scale they become Iceberg ``MERGE INTO`` statements against the stored
+tables (the logic is identical, the sink differs via tableio).
+
+Note: the reference's cascading delete of a vertex's IN-edges is
+asserted unimplemented there (``pregel/vertex.lua:187``); we implement
+it properly (delete both directions) rather than replicate the gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def add_vertices(vertices: DataFrame, new: DataFrame) -> DataFrame:
+    """M1 (``pregel/vertex.lua:140-147``): insert, first-writer-wins on
+    duplicate ids (matches apply order determinism)."""
+    return (
+        vertices.unionByName(new.select(*vertices.columns))
+        .dropDuplicates(["id"])
+    )
+
+
+def add_edges(edges: DataFrame, new: DataFrame) -> DataFrame:
+    """M2 (``pregel/vertex.lua:148-173``): append; duplicate (src,dst)
+    collapse keeping the existing edge's weight."""
+    return (
+        edges.withColumn("_ord", F.lit(0))
+        .unionByName(new.select(*edges.columns).withColumn("_ord", F.lit(1)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("src", "dst").orderBy("_ord")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_ord", "_rn")
+    )
+
+
+def delete_vertices(
+    vertices: DataFrame, edges: DataFrame, dels: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """M3 (``pregel/vertex.lua:176-192``): drop vertices and ALL their
+    incident edges (out- and in-)."""
+    d = dels.select("id").distinct()
+    v2 = vertices.join(d, "id", "left_anti")
+    e2 = (
+        edges.join(d.withColumnRenamed("id", "src"), "src", "left_anti")
+        .join(d.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        .select(*edges.columns)
+    )
+    return v2, e2
+
+
+def delete_edges(edges: DataFrame, dels: DataFrame) -> DataFrame:
+    """M4 (``pregel/vertex.lua:193-210``): drop exact (src, dst) pairs."""
+    return edges.join(
+        dels.select("src", "dst").distinct(), ["src", "dst"], "left_anti"
+    )
+
+
+def apply_mutations(
+    vertices: DataFrame,
+    edges: DataFrame,
+    del_edges: DataFrame | None = None,
+    del_vertices: DataFrame | None = None,
+    new_vertices: DataFrame | None = None,
+    new_edges: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Barrier-ordered application (``pregel/worker.lua:196-309``):
+    delete-edges -> delete-vertices -> add-vertices -> add-edges."""
+    if del_edges is not None:
+        edges = delete_edges(edges, del_edges)
+    if del_vertices is not None:
+        vertices, edges = delete_vertices(vertices, edges, del_vertices)
+    if new_vertices is not None:
+        vertices = add_vertices(vertices, new_vertices)
+    if new_edges is not None:
+        edges = add_edges(edges, new_edges)
+    return vertices, edges

@@ -17,11 +17,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_level(cpus: int, sf_dir: str) -> dict:
-    p = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "pagerank_bench_worker.py"),
-         str(cpus), sf_dir],
-        capture_output=True, text=True, timeout=3600,
-    )
+    """Fresh JVM pinned to exactly `cpus` host CPUs via taskset —
+    without pinning, a local[8] JVM still spreads GC/shuffle-IO/codegen
+    threads over all 32 host cores, inflating the low-core baseline and
+    corrupting the efficiency ratio."""
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "pagerank_bench_worker.py"),
+           str(cpus), sf_dir]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+    env = dict(os.environ)
+    env.setdefault("SCALING_TOL", "0")
+    env.setdefault("SCALING_MAX_ITER", "10")
+    # ample heap: GC pressure at the default 16g produced 10-20s
+    # full-GC superstep outliers that corrupt the ratio
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
     for line in p.stdout.splitlines():
         if line.startswith("BENCHJSON:"):
             return json.loads(line[len("BENCHJSON:"):])
@@ -31,12 +41,34 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     )
 
 
+def synth_input(n_edges: int) -> str:
+    """Generate (once) a large synthetic edge table so supersteps are
+    compute-bound — the scaling protocol needs per-core work >> fixed
+    per-superstep overhead (see pregel_spark/synth.py)."""
+    sys.path.insert(0, REPO)
+    from pregel_spark.session import get_spark
+    from pregel_spark.synth import ensure_synth_edges_parquet
+
+    path = f"/tmp/pregel_bench/synth_edges_{n_edges}"
+    spark = get_spark("synth-edges", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_synth_edges_parquet(spark, path, n_edges)
+    spark.stop()
+    return path
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    args = sys.argv[1:]
+    if args and args[0].startswith("--edges="):
+        sf_dir = synth_input(int(args[0].split("=")[1]))
+        args = args[1:]
+    elif args:
+        sf_dir = args[0]
+        args = args[1:]
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_low = int(args[0]) if len(args) > 0 else 8
+    n_high = int(args[1]) if len(args) > 1 else 32
     low = run_level(n_low, sf_dir)
     high = run_level(n_high, sf_dir)
     ratio = (n_high / n_low)

@@ -28,10 +28,17 @@ def main():
         shuffle_partitions=cpus,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    edges = entrymod._edges(spark, sf_dir)
+    if sf_dir.endswith(".edges.parquet") or os.path.exists(
+        os.path.join(sf_dir, "_SUCCESS")
+    ):
+        edges = spark.read.parquet(sf_dir)
+    else:
+        edges = entrymod._edges(spark, sf_dir)
     n_edges = edges.count()
+    tol = float(os.environ.get("SCALING_TOL", "1e-6"))
+    max_iter = int(os.environ.get("SCALING_MAX_ITER", "200"))
     t0 = time.monotonic()
-    res = pagerank(spark, edges, tol=1e-6, max_iter=200)
+    res = pagerank(spark, edges, tol=tol, max_iter=max_iter)
     wall = time.monotonic() - t0
     out = {
         "cpus": cpus,

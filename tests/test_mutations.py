@@ -1,0 +1,63 @@
+"""Topology mutation utilities vs the reference's barrier-ordered
+application semantics (pregel/worker.lua:196-309)."""
+
+from __future__ import annotations
+
+from pregel_spark.graph.mutations import (
+    add_edges,
+    add_vertices,
+    apply_mutations,
+    delete_edges,
+    delete_vertices,
+)
+from tests.conftest import edges_df
+
+
+def _vdf(spark, ids):
+    return spark.createDataFrame([(i, 0) for i in ids], "id string, value long")
+
+
+def test_add_vertices_first_writer_wins(spark):
+    v = spark.createDataFrame([("a", 1), ("b", 2)], "id string, value long")
+    new = spark.createDataFrame([("b", 99), ("c", 3)], "id string, value long")
+    got = {r["id"]: r["value"] for r in add_vertices(v, new).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+
+
+def test_add_edges_keeps_existing_weight(spark):
+    e = edges_df(spark, [("a", "b")], weight=5.0)
+    new = edges_df(spark, [("a", "b"), ("b", "c")], weight=1.0)
+    got = {(r["src"], r["dst"]): r["weight"] for r in add_edges(e, new).collect()}
+    assert got == {("a", "b"): 5.0, ("b", "c"): 1.0}
+
+
+def test_delete_vertex_cascades_both_directions(spark):
+    v = _vdf(spark, ["a", "b", "c"])
+    e = edges_df(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")])
+    dels = spark.createDataFrame([("a",)], "id string")
+    v2, e2 = delete_vertices(v, e, dels)
+    assert {r["id"] for r in v2.collect()} == {"b", "c"}
+    assert {(r["src"], r["dst"]) for r in e2.collect()} == {("b", "c")}
+
+
+def test_delete_edges_exact_pairs(spark):
+    e = edges_df(spark, [("a", "b"), ("b", "a"), ("b", "c")])
+    dels = edges_df(spark, [("a", "b")])
+    got = {(r["src"], r["dst"]) for r in delete_edges(e, dels).collect()}
+    assert got == {("b", "a"), ("b", "c")}
+
+
+def test_apply_mutations_barrier_order(spark):
+    # order: del-edges, del-vertices, add-vertices, add-edges
+    v = _vdf(spark, ["a", "b"])
+    e = edges_df(spark, [("a", "b"), ("b", "a")])
+    v2, e2 = apply_mutations(
+        v,
+        e,
+        del_edges=edges_df(spark, [("a", "b")]),
+        del_vertices=spark.createDataFrame([("b",)], "id string"),
+        new_vertices=spark.createDataFrame([("c", 7)], "id string, value long"),
+        new_edges=edges_df(spark, [("a", "c")]),
+    )
+    assert {r["id"] for r in v2.collect()} == {"a", "c"}
+    assert {(r["src"], r["dst"]) for r in e2.collect()} == {("a", "c")}
