@@ -59,6 +59,7 @@ def pagerank(
     use_salted: bool = False,
     lineage_cut_interval: int = 1,
     numeric_ids: bool = True,
+    pre_deduped: bool = False,
 ) -> PregelResult:
     """Run PageRank to ``tol`` convergence (or exactly ``max_iter``
     supersteps when ``tol=0``). Returns ranks as (id, rank).
@@ -75,9 +76,12 @@ def pagerank(
     ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
 
     # static structures: out-degree-normalized link shares, dangling flag.
-    # Multi-edges collapse (standard link-graph semantics; a no-op when
-    # the edge table was materialized deduped by edges_from_pages).
-    dedup = edges.select("src", "dst").distinct()
+    # Multi-edges collapse (standard link-graph semantics); callers whose
+    # edge table is already deduped (edges_from_pages, synth_edges) pass
+    # pre_deduped=True and skip this full O(E) shuffle.
+    dedup = edges.select("src", "dst")
+    if not pre_deduped:
+        dedup = dedup.distinct()
     vmap = None
     if numeric_ids:
         str_verts = vertices_from_edges(dedup)

@@ -72,12 +72,20 @@ def main():
     low = run_level(n_low, sf_dir)
     high = run_level(n_high, sf_dir)
     ratio = (n_high / n_low)
+    # efficiency on SUPERSTEP throughput (the north metric is
+    # supersteps/hour and edges/sec of the iteration); one-time ingest
+    # (read + degree/link build + id mapping) is reported separately —
+    # it is amortized over arbitrarily many supersteps in production
     eff = (high["edges_per_sec"] / low["edges_per_sec"]) / ratio
+    eff_total = (
+        high["edges_per_sec_incl_setup"] / low["edges_per_sec_incl_setup"]
+    ) / ratio
     result = {
         "sf_dir": sf_dir,
         "low": low,
         "high": high,
         "scaling_efficiency": round(eff, 4),
+        "scaling_efficiency_incl_setup": round(eff_total, 4),
         "pass_gate_0.8": eff >= 0.8,
     }
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
