@@ -87,6 +87,26 @@ def vertices_from_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def save_edges_bucketed(
+    edges: DataFrame,
+    table: str,
+    buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the edge table bucketed by ``src`` (Iceberg
+    ``bucket(N, src)`` partition-transform analog for the
+    parquet/Hive-catalog fallback): scans start hash-aligned on the
+    scatter-join key, so joins against an equally-bucketed side skip
+    the exchange entirely. Read back with ``spark.table(table)``."""
+    (
+        edges.write.mode(mode)
+        .bucketBy(buckets, "src")
+        .sortBy("src")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def adjacency(edges: DataFrame) -> DataFrame:
     """CSR-blocked adjacency: (src, dsts array, weights array, deg).
 
