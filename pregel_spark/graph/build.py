@@ -87,6 +87,33 @@ def vertices_from_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def order_preserving_id_map(
+    vertices: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """(id string, vid long) with vid ordered exactly like id.
+
+    Lets min-label algorithms (connected components, LPA tie-breaks)
+    run their loops on 8-byte longs while producing byte-identical
+    label assignments after mapping back: ``min(vid)`` picks the same
+    vertex as ``min(id)`` because the mapping is monotone.
+
+    Scalable construction: range-repartition by id (globally ordered
+    partitions) + per-partition sort + ``zipWithIndex`` (one count
+    job to compute partition offsets) — no single-partition window.
+    """
+    spark = vertices.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sorted_df = (
+        vertices.select("id")
+        .repartitionByRange(n_part, "id")
+        .sortWithinPartitions("id")
+    )
+    return spark.createDataFrame(
+        sorted_df.rdd.zipWithIndex().map(lambda t: (t[0]["id"], t[1])),
+        "id string, vid long",
+    )
+
+
 def save_edges_bucketed(
     edges: DataFrame,
     table: str,

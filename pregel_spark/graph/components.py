@@ -25,7 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tableio import CheckpointManager
-from .build import undirect, vertices_from_edges
+from .build import order_preserving_id_map, undirect, vertices_from_edges
 from .engine import PregelResult, bsp_loop_confs, materialize
 
 
@@ -38,17 +38,43 @@ def connected_components(
     run_id: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    numeric_ids: bool = True,
 ) -> PregelResult:
     """Returns (id, component) — component = lexicographic min vertex id
-    reachable treating edges as undirected."""
+    reachable treating edges as undirected.
+
+    ``numeric_ids``: run the loop on an ORDER-PRESERVING long mapping of
+    the string ids (``order_preserving_id_map``) — min-label semantics
+    survive because the mapping is monotone, the per-superstep shuffle
+    carries 8-byte keys instead of urls, and the final labels map back
+    to the identical strings.
+    """
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
 
-    ue = materialize(undirect(edges).select("src", "dst").repartition(n_part, "src"))
+    ue = undirect(edges).select("src", "dst")
+    vmap = None
+    if numeric_ids:
+        vmap = materialize(
+            order_preserving_id_map(vertices_from_edges(edges), n_part)
+            .repartition(n_part, "vid")
+        )
+        ue = (
+            ue.join(vmap.withColumnRenamed("id", "src"), "src")
+            .select(F.col("vid").alias("src"), "dst")
+            .join(vmap.withColumnRenamed("id", "dst"), "dst")
+            .select("src", F.col("vid").alias("dst"))
+        )
+    ue = materialize(ue.repartition(n_part, "src"))
+    # labels cover ALL vertices of the original edge table (including
+    # self-loop-only vertices that undirect() drops as edges)
+    if vmap is not None:
+        verts0 = vmap.select(F.col("vid").alias("id"))
+    else:
+        verts0 = vertices_from_edges(edges)
     labels = materialize(
-        vertices_from_edges(edges)
-        .select("id", F.col("id").alias("component"))
+        verts0.select("id", F.col("id").alias("component"))
         .repartition(n_part, "id")
     )
     frontier = labels  # superstep 1: every vertex announces its label
@@ -108,6 +134,19 @@ def connected_components(
                 converged = True
                 break
 
+    if vmap is not None:
+        labels = (
+            labels.withColumnRenamed("id", "_v")
+            .join(vmap.withColumnRenamed("vid", "_v"), "_v")
+            .withColumnRenamed("component", "_c")
+            .join(
+                vmap.select(
+                    F.col("vid").alias("_c"), F.col("id").alias("component")
+                ),
+                "_c",
+            )
+            .select("id", "component")
+        )
     return PregelResult(
         vertices=labels,
         supersteps=superstep,

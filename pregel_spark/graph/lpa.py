@@ -22,7 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..tableio import CheckpointManager
-from .build import undirect, vertices_from_edges
+from .build import order_preserving_id_map, undirect, vertices_from_edges
 from .engine import PregelResult, bsp_loop_confs, materialize
 
 
@@ -35,16 +35,38 @@ def label_propagation(
     run_id: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    numeric_ids: bool = True,
 ) -> PregelResult:
-    """Returns (id, label) after synchronous LPA."""
+    """Returns (id, label) after synchronous LPA.
+
+    ``numeric_ids``: loop on the order-preserving long mapping (see
+    ``connected_components``) — the mode count is relabel-invariant and
+    the min tie-break survives a monotone mapping, so assignments are
+    byte-identical after mapping back."""
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
 
-    ue = materialize(undirect(edges).select("src", "dst").repartition(n_part, "src"))
+    ue = undirect(edges).select("src", "dst")
+    vmap = None
+    if numeric_ids:
+        vmap = materialize(
+            order_preserving_id_map(vertices_from_edges(edges), n_part)
+            .repartition(n_part, "vid")
+        )
+        ue = (
+            ue.join(vmap.withColumnRenamed("id", "src"), "src")
+            .select(F.col("vid").alias("src"), "dst")
+            .join(vmap.withColumnRenamed("id", "dst"), "dst")
+            .select("src", F.col("vid").alias("dst"))
+        )
+    ue = materialize(ue.repartition(n_part, "src"))
+    if vmap is not None:
+        verts0 = vmap.select(F.col("vid").alias("id"))
+    else:
+        verts0 = vertices_from_edges(edges)
     labels = materialize(
-        vertices_from_edges(edges)
-        .select("id", F.col("id").alias("label"))
+        verts0.select("id", F.col("id").alias("label"))
         .repartition(n_part, "id")
     )
 
@@ -99,6 +121,17 @@ def label_propagation(
                 converged = True
                 break
 
+    if vmap is not None:
+        labels = (
+            labels.withColumnRenamed("id", "_v")
+            .join(vmap.withColumnRenamed("vid", "_v"), "_v")
+            .withColumnRenamed("label", "_l")
+            .join(
+                vmap.select(F.col("vid").alias("_l"), F.col("id").alias("label")),
+                "_l",
+            )
+            .select("id", "label")
+        )
     return PregelResult(
         vertices=labels,
         supersteps=superstep,
