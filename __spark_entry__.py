@@ -227,6 +227,14 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    from pregel_spark.pipeline import embedding_near_dup_pairs
+
+    # testdata embeddings are random-ish (max pairwise cosine ~0.51);
+    # 0.4 keeps a meaningful tail for the oracle comparison
+    return embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
 def q_fingerprint(spark, sf_dir):
     from pregel_spark.pipeline import fingerprint
 
@@ -333,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_embedding": q_dedup_embedding,
         "dedup_simhash": q_dedup_simhash,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
@@ -481,6 +490,13 @@ j AS (SELECT a, b,
              round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
       FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b)
 SELECT a, b, jaccard FROM j WHERE jaccard >= 0.1
+""",
+        "dedup_embedding": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 """,
         "fingerprint": r"""
 SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp

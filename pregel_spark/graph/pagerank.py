@@ -60,6 +60,7 @@ def pagerank(
     lineage_cut_interval: int = 1,
     numeric_ids: bool = True,
     pre_deduped: bool = False,
+    weighted: bool = False,
 ) -> PregelResult:
     """Run PageRank to ``tol`` convergence (or exactly ``max_iter``
     supersteps when ``tol=0``). Returns ranks as (id, rank).
@@ -70,18 +71,27 @@ def pagerank(
     superstep spends its time (PageRank semantics never order by id, so
     results are identical). A one-time collision check falls back to
     string keys if the 64-bit space ever collides (P ~ V^2 / 2^65).
+
+    ``weighted``: rank flows proportionally to edge weight (the
+    reference's integer edge values, ``pregel/loader.lua:105``):
+    share(u->v) = w(u,v) / Σ_x w(u,x); parallel edges sum their
+    weights. Default is the unweighted uniform split.
     """
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
 
     # static structures: out-degree-normalized link shares, dangling flag.
-    # Multi-edges collapse (standard link-graph semantics); callers whose
-    # edge table is already deduped (edges_from_pages, synth_edges) pass
-    # pre_deduped=True and skip this full O(E) shuffle.
-    dedup = edges.select("src", "dst")
-    if not pre_deduped:
-        dedup = dedup.distinct()
+    # Multi-edges collapse (standard link-graph semantics; weighted mode
+    # sums their weights); callers whose edge table is already deduped
+    # (edges_from_pages, synth_edges) pass pre_deduped=True and skip
+    # this full O(E) shuffle.
+    if weighted:
+        dedup = edges.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
+    else:
+        dedup = edges.select("src", "dst")
+        if not pre_deduped:
+            dedup = dedup.distinct()
     vmap = None
     if numeric_ids:
         str_verts = vertices_from_edges(dedup)
@@ -96,16 +106,25 @@ def pagerank(
         else:
             dedup = materialize(
                 dedup.select(
-                    F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+                    F.xxhash64("src").alias("src"),
+                    F.xxhash64("dst").alias("dst"),
+                    *([F.col("w")] if weighted else []),
                 )
             )
-    outdeg = dedup.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if weighted:
+        outdeg = dedup.groupBy("src").agg(
+            F.count(F.lit(1)).alias("deg"), F.sum("w").alias("wsum")
+        )
+        share = F.col("w") / F.col("wsum")
+    else:
+        outdeg = dedup.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        share = F.lit(1.0) / F.col("deg")
     # persist (NOT localCheckpoint): keeps hashpartitioning(src) visible
     # to Catalyst, so the per-superstep scatter join never re-exchanges
     # this O(E) side — only the O(V) ranks side shuffles.
     links = (
         dedup.join(outdeg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("share"))
+        .select("src", "dst", share.alias("share"))
         .repartition(n_part, "src")
         .persist()
     )

@@ -9,6 +9,7 @@ assignment) — never per-row Python UDFs.
 
 from .textstats import fingerprint, language_id, quality_score, token_stats
 from .dedup import (
+    embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -19,6 +20,7 @@ from .simsearch import brute_force_topk, ivf_topk
 from .multimodal import decode_media_batch, media_features
 
 __all__ = [
+    "embedding_near_dup_pairs",
     "fingerprint",
     "language_id",
     "quality_score",

@@ -197,6 +197,91 @@ def minhash_lsh_pairs(
     return verified
 
 
+# ------------------------- embedding near-dup ------------------------
+
+def embedding_near_dup_pairs(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_bits: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold (a < b).
+
+    ``lsh_bits=0``: exact all-pairs (the correctness baseline; the
+    cross join is fine when one side broadcasts). ``lsh_bits>0``: scale
+    path — sign-LSH bucketing on ``lsh_bits`` deterministic pseudo-
+    random hyperplanes (seeded hash-derived, no stored model); only
+    same-bucket pairs are scored, then exact-verified. High-threshold
+    near-dups flip few signs, so recall stays high with few bits.
+    """
+    from pyspark.sql import functions as FF
+
+    norm = FF.sqrt(
+        FF.aggregate(
+            FF.transform(FF.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            FF.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    base = embs.select(
+        FF.col(id_col).alias("id"), FF.col(vec_col).alias("v"), norm.alias("nrm")
+    )
+    if lsh_bits > 0:
+        # hyperplane h_b[i] = int-hash(seed, b, i) mapped to [-0.5, 0.5)
+        def plane(b: int):
+            return FF.transform(
+                FF.col("v"),
+                lambda x, i: x.cast("double")
+                * (
+                    FF.pmod(FF.xxhash64(FF.lit(seed), FF.lit(b), i), FF.lit(1000))
+                    / 1000.0
+                    - 0.5
+                ),
+            )
+
+        sig = FF.concat(
+            *[
+                FF.when(
+                    FF.aggregate(plane(b), FF.lit(0.0), lambda a, x: a + x) >= 0,
+                    FF.lit("1"),
+                ).otherwise(FF.lit("0"))
+                for b in range(lsh_bits)
+            ]
+        )
+        base = base.withColumn("bucket", sig)
+        a = base.select(
+            FF.col("id").alias("a"), FF.col("v").alias("va"),
+            FF.col("nrm").alias("na"), "bucket",
+        )
+        b = base.select(
+            FF.col("id").alias("b"), FF.col("v").alias("vb"),
+            FF.col("nrm").alias("nb"), "bucket",
+        )
+        cand = a.join(b, "bucket").filter(FF.col("a") < FF.col("b"))
+    else:
+        a = base.select(
+            FF.col("id").alias("a"), FF.col("v").alias("va"), FF.col("nrm").alias("na")
+        )
+        b = base.select(
+            FF.col("id").alias("b"), FF.col("v").alias("vb"), FF.col("nrm").alias("nb")
+        )
+        cand = a.join(b, FF.col("a") < FF.col("b"))
+    dot = FF.aggregate(
+        FF.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        FF.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.select(
+            "a", "b",
+            FF.round(dot / (FF.col("na") * FF.col("nb")), 6).alias("cosine"),
+        )
+        .filter(FF.col("cosine") >= threshold)
+    )
+
+
 # ------------------------------ SimHash ------------------------------
 
 def _simhash_batch(it):

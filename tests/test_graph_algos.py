@@ -123,3 +123,42 @@ def test_max_propagation_generic_tier(spark):
     got = {r["id"]: r["value"] for r in res.vertices.collect()}
     assert got == maxprop_oracle(pairs, values)
     assert res.converged
+
+
+def test_pagerank_weighted(spark):
+    """Weighted PageRank vs a dense NumPy oracle: rank flows
+    proportionally to edge weight (reference edge values)."""
+    wedges = [
+        ("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+        ("c", "a", 1.0), ("c", "d", 1.0), ("d", "a", 5.0),
+    ]
+    e = spark.createDataFrame(wedges, "src string, dst string, weight double")
+    res = pagerank(spark, e, tol=1e-9, max_iter=200, weighted=True)
+    got = _ranks(res.vertices)
+
+    ids = sorted({x for s, t, _ in wedges for x in (s, t)})
+    idx = {v: i for i, v in enumerate(ids)}
+    n, d = len(ids), 0.85
+    import numpy as _np
+
+    W = _np.zeros((n, n))
+    for s, t, w in wedges:
+        W[idx[s], idx[t]] += w
+    out = W.sum(axis=1)
+    r = _np.full(n, 1.0 / n)
+    for _ in range(10_000):
+        nxt = _np.zeros(n)
+        dm = 0.0
+        for i in range(n):
+            if out[i] > 0:
+                nxt += r[i] * W[i] / out[i]
+            else:
+                dm += r[i]
+        new = (1 - d) / n + d * (nxt + dm / n)
+        if _np.abs(new - r).max() < 1e-12:
+            r = new
+            break
+        r = new
+    for v in ids:
+        assert np.isclose(got[v], r[idx[v]], atol=1e-6), v
+    assert res.converged

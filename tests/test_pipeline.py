@@ -207,3 +207,33 @@ def test_media_real_decoder_is_stubbed(spark):
     media = make_fake_media(spark, n=3)
     with pytest.raises(Exception):
         media_features(media, decoder="real").collect()
+
+
+def test_embedding_near_dup_exact_and_lsh(spark):
+    from pregel_spark.pipeline import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(80, 16))
+    X[50] = X[10] + rng.normal(scale=0.01, size=16)  # planted near-dup
+    X[60] = X[20] + rng.normal(scale=0.01, size=16)
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {(r["a"], r["b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(emb, threshold=0.95).collect()}
+    want = {}
+    for i in range(80):
+        for j in range(i + 1, 80):
+            c = round(_cosine(X[i], X[j]), 6)
+            if c >= 0.95:
+                want[(i, j)] = c
+    assert exact.keys() == want.keys()
+    for k in want:
+        assert np.isclose(exact[k], want[k], atol=1e-6)
+    assert (10, 50) in exact and (20, 60) in exact
+    # sign-LSH path finds the planted near-dups and verifies exactly
+    lsh = {(r["a"], r["b"]) for r in
+           embedding_near_dup_pairs(emb, threshold=0.95, lsh_bits=4).collect()}
+    assert {(10, 50), (20, 60)} <= lsh
+    assert lsh <= exact.keys()
