@@ -306,6 +306,39 @@ ORDER BY revenue DESC, custkey ASC
 LIMIT 10
 """
 
+CUBE_ORDERS_SQL = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey,
+       o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS running_total,
+       CAST(row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+       ) AS INTEGER) AS order_seq
+FROM orders
+"""
+
+DISTINCT_AGG_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
 EVENTS_HOURLY_SQL = """
 SELECT event_type,
        date_trunc('hour', ts) AS hour,
@@ -353,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _sql_query(PRICING_SQL),
         "top_customers": _sql_query(TOP_CUSTOMERS_SQL),
         "events_hourly": _sql_query(EVENTS_HOURLY_SQL),
+        "cube_orders": _sql_query(CUBE_ORDERS_SQL),
+        "window_running": _sql_query(WINDOW_RUNNING_SQL),
+        "distinct_agg": _sql_query(DISTINCT_AGG_SQL),
     }
 
 
@@ -578,6 +614,9 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
         "pricing_summary": PRICING_SQL,
         "top_customers": TOP_CUSTOMERS_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
+        "cube_orders": CUBE_ORDERS_SQL,
+        "window_running": WINDOW_RUNNING_SQL,
+        "distinct_agg": DISTINCT_AGG_SQL,
         # rows-only (non-SQL-expressible; exact pytest oracles instead):
         # pagerank_full, dedup_minhash, dedup_simhash, simsearch_ivf,
         # media_features

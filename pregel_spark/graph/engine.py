@@ -157,14 +157,15 @@ class PregelResult:
 
 ComputeFn = Callable[[pd.DataFrame, ComputeContext], pd.DataFrame]
 
-def _make_apply_fn(compute: "ComputeFn", ctx: "ComputeContext"):
+def _make_apply_fn(compute: "ComputeFn", ctx: "ComputeContext", cols=None):
     """applyInPandas requires a 1-arg function; close over (compute,
     ctx) via a factory rather than default args (which break pyspark's
     signature introspection)."""
+    cols = cols or ["id", "value", "halted", "out"]
 
     def _fn(pdf):
         res = compute(pdf, ctx)
-        return res[["id", "value", "halted", "out"]]
+        return res[cols]
 
     return _fn
 
@@ -239,6 +240,61 @@ class Pregel:
             msgs, "id", "msg", self.salt_buckets, hot_keys=hot
         )
 
+    # -- barrier mutations ---------------------------------------------
+    def _apply_barrier_mutations(
+        self,
+        state: DataFrame,
+        edges: DataFrame | None,
+        mut_rows: DataFrame,
+        value_type: str,
+        with_adjacency: bool,
+        n_part: int,
+    ):
+        """Apply compute-requested topology mutations in the
+        reference's barrier order (``pregel/worker.lua:196-309``):
+        delete-edges, delete-vertices (cascading incident edges),
+        add-vertices (unhalted, ``pregel/worker.lua:335``), add-edges.
+        Returns (state, edges, adjacency)."""
+        from .mutations import (
+            add_edges as m_add_edges,
+            delete_edges as m_delete_edges,
+            delete_vertices as m_delete_vertices,
+        )
+
+        de = mut_rows.filter(F.col("kind") == 0).select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        )
+        dv = mut_rows.filter(F.col("kind") == 1).select(F.col("a").alias("id"))
+        av = mut_rows.filter(F.col("kind") == 2).select(
+            F.col("a").alias("id"),
+            F.col("value"),
+            F.lit(False).alias("halted"),
+        )
+        ae = mut_rows.filter(F.col("kind") == 3).select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        if edges is not None:
+            edges = m_delete_edges(edges, de)
+            state, edges = m_delete_vertices(state, edges, dv)
+        else:
+            state = state.join(dv, "id", "left_anti")
+        # existing vertices win: only genuinely new ids are inserted
+        # (dropDuplicates alone keeps an arbitrary row — not deterministic)
+        new_verts = av.dropDuplicates(["id"]).join(state, "id", "left_anti")
+        state = state.unionByName(new_verts)
+        if edges is not None:
+            edges = materialize(
+                m_add_edges(edges, ae).repartition(n_part, "src")
+            )
+        adj = None
+        if with_adjacency and edges is not None:
+            adj = materialize(
+                build_adjacency(edges).repartition(n_part, "src")
+            )
+        return state, edges, adj
+
     # -- the loop ------------------------------------------------------
     def run(
         self,
@@ -251,17 +307,30 @@ class Pregel:
         with_adjacency: bool = True,
         aggregators: dict[str, tuple[float, Callable[[DataFrame], Column]]] | None = None,
         resume: bool = False,
+        with_mutations: bool = False,
     ) -> PregelResult:
+        """``with_mutations``: the compute output gains a ``muts``
+        column — ``array<struct<kind:int, a:string, b:string,
+        value:V>>`` with kind 0=delete-edge(a->b), 1=delete-vertex(a),
+        2=add-vertex(a, value), 3=add-edge(a->b) — applied at the
+        superstep barrier in the reference's fixed order
+        (``pregel/worker.lua:196-309``); adjacency is rebuilt only on
+        supersteps that actually mutated."""
         spark = self.spark
         n_part = self.num_partitions
         out_schema = (
             f"id string, value {value_type}, halted boolean, "
             f"out array<struct<dst:string,msg:{msg_type}>>"
         )
+        if with_mutations:
+            out_schema += (
+                f", muts array<struct<kind:int,a:string,b:string,value:{value_type}>>"
+            )
+        cur_edges = self.edges
         adj = None
-        if with_adjacency and self.edges is not None:
+        if with_adjacency and cur_edges is not None:
             adj = materialize(
-                build_adjacency(self.edges).repartition(n_part, "src")
+                build_adjacency(cur_edges).repartition(n_part, "src")
             )
 
         start_step = 1
@@ -304,7 +373,10 @@ class Pregel:
                     )
 
                 ctx = ComputeContext(superstep, dict(agg_values), n_vertices)
-                _fn = _make_apply_fn(compute, ctx)
+                out_cols = ["id", "value", "halted", "out"] + (
+                    ["muts"] if with_mutations else []
+                )
+                _fn = _make_apply_fn(compute, ctx, out_cols)
 
                 computed = (
                     active_in.groupBy(
@@ -314,10 +386,19 @@ class Pregel:
                 )
                 computed = materialize(computed.repartition(n_part, "id"))
 
-                state = materialize(
-                    computed.select("id", "value", "halted").unionByName(passthrough)
-                    .repartition(n_part, "id")
+                new_state = computed.select("id", "value", "halted").unionByName(
+                    passthrough
                 )
+                if with_mutations:
+                    mut_rows = materialize(
+                        computed.select(F.explode("muts").alias("m")).select("m.*")
+                    )
+                    if mut_rows.count() > 0:
+                        new_state, cur_edges, adj = self._apply_barrier_mutations(
+                            new_state, cur_edges, mut_rows, value_type,
+                            with_adjacency, n_part,
+                        )
+                state = materialize(new_state.repartition(n_part, "id"))
                 msgs = materialize(
                     computed.select(F.explode("out").alias("o"))
                     .select(F.col("o.dst").alias("id"), F.col("o.msg").alias("msg"))

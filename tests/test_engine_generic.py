@@ -65,3 +65,65 @@ def test_aggregator_roundtrip_and_collect_inbox(spark):
     }
     assert got == want
     assert res.converged
+
+
+def test_compute_driven_mutations_barrier_order(spark):
+    """Reference M1-M4 requested from compute (pregel/vertex.lua:140-210),
+    applied at the barrier: superstep 1 vertex 'a' deletes edge a->b,
+    deletes vertex 'c' (cascading), adds vertex 'z' (value 99) and edge
+    a->z; superstep 2 'a' messages all its (mutated) neighbors; the new
+    vertex must receive it and 'b' must not."""
+    vdf = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, value long"
+    )
+    e = edges_df(spark, [("a", "b"), ("a", "c"), ("c", "a")])
+
+    def compute(pdf: pd.DataFrame, ctx) -> pd.DataFrame:
+        out, muts, values, halted = [], [], [], []
+        for _, row in pdf.iterrows():
+            o, m = [], []
+            v = int(row["value"])
+            if ctx.superstep == 1 and row["id"] == "a":
+                m = [
+                    (0, "a", "b", 0),    # delete edge a->b
+                    (1, "c", None, 0),   # delete vertex c (cascade)
+                    (2, "z", None, 99),  # add vertex z
+                    (3, "a", "z", 0),    # add edge a->z
+                ]
+            elif ctx.superstep == 2 and row["id"] == "a":
+                dsts = row.get("dsts")
+                if dsts is not None and isinstance(dsts, (list, tuple)) or (
+                    dsts is not None and len(list(dsts)) >= 0
+                ):
+                    o = [(d, 1000 + v) for d in list(dsts)]
+            elif ctx.superstep >= 2:
+                msgs = row.get("msgs")
+                if msgs is not None and len(list(msgs)) > 0:
+                    v = max(int(x) for x in list(msgs))
+            out.append(o)
+            muts.append(m)
+            values.append(v)
+            halted.append(ctx.superstep >= 2 and row["id"] != "a")
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "value": values,
+                "halted": halted,
+                "out": out,
+                "muts": muts,
+            }
+        )
+
+    res = Pregel(spark, vdf, e).run(
+        compute=compute,
+        value_type="long",
+        msg_type="long",
+        combiner="max",
+        max_supersteps=4,
+        with_mutations=True,
+    )
+    got = {r["id"]: r["value"] for r in res.vertices.collect()}
+    assert "c" not in got            # deleted vertex gone
+    assert got["z"] == 1001          # new vertex got a's superstep-2 msg
+    assert got["b"] == 2             # edge a->b deleted before scatter
+    assert got["a"] == 1
