@@ -113,7 +113,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     edges = _edges(spark, sf_dir)
-    res = pagerank(spark, edges, tol=1e-6, max_iter=100)
+    res = pagerank(spark, edges, tol=1e-6, max_iter=100, pre_deduped=True)
     deg = degrees(edges)
     return (
         res.vertices.join(deg, "id")
@@ -138,14 +138,14 @@ def q_degrees(spark, sf_dir):
 def q_pagerank_k3(spark, sf_dir):
     from pregel_spark.graph import pagerank
 
-    res = pagerank(spark, _edges(spark, sf_dir), tol=0.0, max_iter=3)
+    res = pagerank(spark, _edges(spark, sf_dir), tol=0.0, max_iter=3, pre_deduped=True)
     return res.vertices.select("id", F.round("rank", 6).alias("rank"))
 
 
 def q_pagerank_full(spark, sf_dir):
     from pregel_spark.graph import pagerank
 
-    res = pagerank(spark, _edges(spark, sf_dir), tol=1e-6, max_iter=100)
+    res = pagerank(spark, _edges(spark, sf_dir), tol=1e-6, max_iter=100, pre_deduped=True)
     return res.vertices.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -541,12 +541,14 @@ FROM documents
         "token_stats": r"""
 WITH t AS (
     SELECT doc_id,
+           text,
            length(text) AS n_chars_text,
            CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE string_split_regex(trim(text), '\s+') END AS w
     FROM documents)
 SELECT doc_id,
        CAST(len(w) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INTEGER) AS n_subwords,
        CAST(n_chars_text AS INTEGER) AS n_chars_text,
        round(COALESCE(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))), 0.0)
              / greatest(len(w), 1), 6) AS avg_token_len

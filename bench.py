@@ -68,7 +68,7 @@ def main():
     edges = entrymod._edges(spark, SF_DIR)
     n_edges = edges.count()
     t0 = time.monotonic()
-    res = pagerank(spark, edges, tol=1e-6, max_iter=100)
+    res = pagerank(spark, edges, tol=1e-6, max_iter=100, pre_deduped=True)
     res.vertices.write.format("noop").mode("overwrite").save()
     wall = time.monotonic() - t0
     extra["pagerank_supersteps"] = res.supersteps

@@ -19,6 +19,11 @@ STOPWORDS = {
 
 PUNCT_RE = "[.!?,;:]"
 
+# BPE-ish pre-tokenizer classes (letters / digits / other-symbol runs) —
+# kept to RE2-portable constructs (no lookahead) so the DuckDB oracle
+# runs the identical pattern
+SUBWORD_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
 
 def _tokens(col: str = "text") -> Column:
     return F.when(
@@ -27,11 +32,18 @@ def _tokens(col: str = "text") -> Column:
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, n_tokens, n_chars, avg_token_len)."""
+    """(doc_id, n_tokens, n_subwords, n_chars, avg_token_len).
+
+    ``n_tokens`` = whitespace tokens; ``n_subwords`` = BPE-style
+    pre-tokenizer units (letter / digit / symbol runs) — the standard
+    cheap token-budget proxy for training-data accounting."""
     toks = _tokens()
     return docs.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(SUBWORD_RE), F.lit(0))
+        ).alias("n_subwords"),
         F.length("text").alias("n_chars_text"),
         F.round(
             F.coalesce(

@@ -179,8 +179,13 @@ def test_ivf_topk_recall(spark):
 
 
 def test_token_stats_and_quality(docs):
+    import re as _re
+
     ts = {r["doc_id"]: r for r in token_stats(docs).collect()}
     assert ts[0]["n_tokens"] == 6
+    from pregel_spark.pipeline.textstats import SUBWORD_RE
+    for i, t, _ in DOCS:
+        assert ts[i]["n_subwords"] == len(_re.findall(SUBWORD_RE, t)), i
     assert ts[6]["n_tokens"] == 0
     assert ts[7]["n_tokens"] == 2
     assert np.isclose(ts[7]["avg_token_len"], 3.0)
