@@ -235,6 +235,12 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    from pregel_spark.pipeline import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=8, window=4)
+
+
 def q_fingerprint(spark, sf_dir):
     from pregel_spark.pipeline import fingerprint
 
@@ -377,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_simhash": q_dedup_simhash,
         "fingerprint": q_fingerprint,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
@@ -621,5 +628,5 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
         "distinct_agg": DISTINCT_AGG_SQL,
         # rows-only (non-SQL-expressible; exact pytest oracles instead):
         # pagerank_full, dedup_minhash, dedup_simhash, simsearch_ivf,
-        # media_features
+        # media_features, winnow_fingerprints (Spark-internal xxhash64)
     }

@@ -7,7 +7,13 @@ kernel is genuinely non-expressible (simhash bit packing, k-means
 assignment) — never per-row Python UDFs.
 """
 
-from .textstats import fingerprint, language_id, quality_score, token_stats
+from .textstats import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+    winnow_fingerprints,
+)
 from .dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
@@ -25,6 +31,7 @@ __all__ = [
     "language_id",
     "quality_score",
     "token_stats",
+    "winnow_fingerprints",
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

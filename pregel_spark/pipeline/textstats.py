@@ -105,6 +105,47 @@ def language_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return voted.select(F.col(id_col), pick.alias("lang_pred"))
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al.): hash every character
+    k-gram, min-sample one hash per sliding window of ``window``
+    consecutive k-grams, dedup. Robust to insertions/shifts — two
+    documents sharing a long-enough substring share fingerprints.
+
+    Shape: explode per-position k-gram hashes to rows, min-sample with
+    a bounded ROWS window frame, dedup — no per-row array expression
+    re-inlining (the projection-collapse trap, see minhash) and the
+    windowed min is a partition-local streaming pass. Returns
+    (doc_id, fp long) exploded — the natural shape for an inverted
+    fingerprint index at scale.
+    """
+    from pyspark.sql import Window
+
+    n_grams = F.greatest(F.length("text") - F.lit(k - 1), F.lit(0))
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.xxhash64(F.col("text").substr(i, F.lit(k))),
+            )
+        ).alias("pos", "h"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        grams.select(F.col(id_col), F.min("h").over(w).alias("fp"))
+        .distinct()
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of case-folded, whitespace-collapsed
     text — the canonical-form hash used for exact near-layout dedup."""

@@ -29,7 +29,10 @@ def canon(rows, cols):
                 if math.isnan(v):
                     v = "nan"
                 else:
-                    v = round(v, 6)
+                    # queries round SQL-side; round(9) here only
+                    # normalizes -0.0/ulp noise without masking
+                    # sub-1e-6 regressions the driver would catch
+                    v = round(v, 9)
                     v = 0.0 if v == 0 else v
             vals.append((c, str(v)))
         out.append(tuple(vals))

@@ -242,3 +242,29 @@ def test_embedding_near_dup_exact_and_lsh(spark):
            embedding_near_dup_pairs(emb, threshold=0.95, lsh_bits=4).collect()}
     assert {(10, 50), (20, 60)} <= lsh
     assert lsh <= exact.keys()
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing invariants: determinism, shift-robustness (inserting a
+    prefix keeps most fingerprints), and near-disjointness for
+    unrelated text."""
+    from pregel_spark.pipeline import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                      # identical
+            (2, "NEW PREFIX " + base),      # shifted content
+            (3, "zebra xylophone quartz jackdaw vermilion obsidian nimbus"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs, k=8, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] == fps[1]                       # deterministic
+    overlap = len(fps[0] & fps[2]) / len(fps[0])
+    assert overlap >= 0.6, overlap                # shift-robust
+    cross = len(fps[0] & fps[3]) / len(fps[0])
+    assert cross <= 0.1, cross                    # unrelated ~disjoint
