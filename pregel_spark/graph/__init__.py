@@ -3,7 +3,7 @@
 from .build import adjacency, degrees, edges_from_pages, undirect
 from .engine import Pregel, PregelResult
 from .pagerank import pagerank
-from .components import connected_components
+from .components import connected_components, connected_components_star
 from .lpa import label_propagation
 from .triangles import triangle_count, triangle_count_per_vertex
 from .maxprop import max_propagation
@@ -29,6 +29,7 @@ __all__ = [
     "PregelResult",
     "pagerank",
     "connected_components",
+    "connected_components_star",
     "label_propagation",
     "triangle_count",
     "triangle_count_per_vertex",

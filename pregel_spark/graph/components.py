@@ -154,3 +154,108 @@ def connected_components(
         metrics=metrics,
         run_id=run_id,
     )
+
+
+def _star_round(e: DataFrame, large: bool) -> DataFrame:
+    """One large-star / small-star step (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond'): view the current edge set
+    symmetrically, find each node's minimum over {self} ∪ neighbors,
+    and re-point the > (large) or <= (small) neighbors at that minimum.
+    Pure groupBy + join; every op has map-side partial aggregation."""
+    sym = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mv")).select(
+        "u", F.least("_mv", F.col("u")).alias("m")
+    )
+    cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+    out = (
+        sym.filter(cond)
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    if not large:
+        out = out.unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 30,
+    num_partitions: int | None = None,
+) -> PregelResult:
+    """Alternating large-star/small-star connected components —
+    O(log n) rounds instead of min-label's O(component diameter), the
+    right algorithm for high-diameter graphs at scale. Returns the
+    identical (id, component = lexicographic-min member) labels as
+    :func:`connected_components` (verified against the union-find
+    oracle), via the order-preserving numeric id mapping.
+    """
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verts = vertices_from_edges(edges)
+    vmap = materialize(
+        order_preserving_id_map(verts, n_part).repartition(n_part, "vid")
+    )
+    e = (
+        undirect(edges)
+        .select("src", "dst")
+        .join(vmap.withColumnRenamed("id", "src"), "src")
+        .select(F.col("vid").alias("u"), "dst")
+        .join(vmap.withColumnRenamed("id", "dst"), "dst")
+        .select("u", F.col("vid").alias("v"))
+        .filter(F.col("u") < F.col("v"))  # canonical undirected pairs
+        .distinct()
+    )
+    e = materialize(e.repartition(n_part, "u"))
+
+    metrics: list[dict] = []
+    converged = False
+    rounds = 0
+    prev_sig = None
+    with bsp_loop_confs(spark):
+        for rounds in range(1, max_rounds + 1):
+            t0 = time.monotonic()
+            e = materialize(
+                _star_round(_star_round(e, large=True), large=False)
+                .repartition(n_part, "u")
+            )
+            row = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal sum: a long sum overflows under ANSI mode
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sig"),
+            ).collect()[0]
+            sig = (row["n"], row["sig"])
+            metrics.append(
+                {
+                    "superstep": rounds,
+                    "wall_ms": (time.monotonic() - t0) * 1000,
+                    "edges": row["n"],
+                }
+            )
+            if sig == prev_sig:
+                converged = True
+                break
+            prev_sig = sig
+
+    # fixpoint is a star forest: non-roots point at their component min
+    roots = vmap.select(F.col("vid").alias("u")).join(
+        e.select("u").distinct(), "u", "left_anti"
+    )
+    comp_num = e.select("u", F.col("v").alias("c")).unionByName(
+        roots.select("u", F.col("u").alias("c"))
+    )
+    labels = (
+        comp_num.withColumnRenamed("u", "_v")
+        .join(vmap.withColumnRenamed("vid", "_v"), "_v")
+        .withColumnRenamed("c", "_c")
+        .join(vmap.select(F.col("vid").alias("_c"), F.col("id").alias("component")), "_c")
+        .select("id", "component")
+    )
+    return PregelResult(
+        vertices=labels,
+        supersteps=rounds,
+        converged=converged,
+        metrics=metrics,
+        run_id="star",
+    )

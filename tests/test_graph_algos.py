@@ -162,3 +162,25 @@ def test_pagerank_weighted(spark):
     for v in ids:
         assert np.isclose(got[v], r[idx[v]], atol=1e-6), v
     assert res.converged
+
+
+def test_cc_star_matches_union_find_and_converges_fast(spark):
+    """Alternating star CC: identical labels to the union-find oracle,
+    and O(log n) rounds on a high-diameter graph where min-label would
+    need O(n) supersteps."""
+    from pregel_spark.graph import connected_components_star
+
+    for pairs in (TOY7, CLIQUE_BRIDGE, two_components(n=25)):
+        res = connected_components_star(spark, edges_df(spark, pairs))
+        got = {r["id"]: r["component"] for r in res.vertices.collect()}
+        assert got == components_oracle(pairs), pairs[:3]
+        assert res.converged
+
+    # path of 120 nodes: diameter 119 -> min-label needs ~120 rounds,
+    # star must finish in O(log n)
+    path = [(f"p{i:03d}", f"p{i + 1:03d}") for i in range(120)]
+    res = connected_components_star(spark, edges_df(spark, path))
+    got = {r["id"]: r["component"] for r in res.vertices.collect()}
+    assert got == components_oracle(path)
+    assert res.converged
+    assert res.supersteps <= 12, res.supersteps

@@ -42,3 +42,13 @@ def test_pagerank_k2_matches_oracle(spark, pairs):
     assert set(got) == set(want)
     for v in want:
         assert np.isclose(got[v], want[v], atol=1e-12), v
+
+
+@settings(max_examples=6, deadline=None)
+@given(pairs=edge_lists)
+def test_cc_star_matches_union_find(spark, pairs):
+    from pregel_spark.graph import connected_components_star
+
+    res = connected_components_star(spark, edges_df(spark, pairs))
+    got = {r["id"]: r["component"] for r in res.vertices.collect()}
+    assert got == components_oracle(pairs)
