@@ -61,6 +61,7 @@ def pagerank(
     numeric_ids: bool = True,
     pre_deduped: bool = False,
     weighted: bool = False,
+    sources: list[str] | None = None,
 ) -> PregelResult:
     """Run PageRank to ``tol`` convergence (or exactly ``max_iter``
     supersteps when ``tol=0``). Returns ranks as (id, rank).
@@ -76,6 +77,10 @@ def pagerank(
     reference's integer edge values, ``pregel/loader.lua:105``):
     share(u->v) = w(u,v) / Σ_x w(u,x); parallel edges sum their
     weights. Default is the unweighted uniform split.
+
+    ``sources``: personalized PageRank — the (1-d) restart mass and
+    dangling mass both return to the given source vertices (uniformly
+    over those present in the graph) instead of all vertices.
     """
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -141,6 +146,17 @@ def pagerank(
             run_id=run_id,
         )
     stepm = StepMaterializer(cut_interval=lineage_cut_interval)
+    src_df = None
+    if sources is not None:
+        src_df = spark.createDataFrame([(s,) for s in sources], "id string")
+        if vmap is not None:
+            src_df = src_df.select(F.xxhash64("id").alias("id"))
+        src_df = src_df.distinct().join(verts, "id", "left_semi")
+        n_restart = src_df.count()
+        if n_restart == 0:
+            raise ValueError("no personalization source is present in the graph")
+    else:
+        n_restart = n
     ranks = (
         verts.join(outdeg.withColumnRenamed("src", "id"), "id", "left_outer")
         .select(
@@ -151,6 +167,22 @@ def pagerank(
         .repartition(n_part, "id")
         .persist()
     )
+    if src_df is not None:
+        ranks.unpersist()
+        ranks = (
+            verts.join(outdeg.withColumnRenamed("src", "id"), "id", "left_outer")
+            .join(src_df.withColumn("_s", F.lit(True)), "id", "left_outer")
+            .select(
+                "id",
+                F.when(F.col("_s").isNotNull(), F.lit(1.0 / n_restart))
+                .otherwise(F.lit(0.0))
+                .alias("rank"),
+                F.col("deg").isNull().alias("is_dangling"),
+                F.col("_s").isNotNull().alias("is_source"),
+            )
+            .repartition(n_part, "id")
+            .persist()
+        )
     row = ranks.agg(
         F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("dm")
     ).collect()[0]
@@ -181,10 +213,17 @@ def pagerank(
                 )
             else:
                 sums = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
-            new_rank = (
-                F.lit((1.0 - d) / n)
-                + F.lit(d) * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
-            )
+            if src_df is not None:
+                restart = F.when(
+                    F.col("is_source"),
+                    F.lit((1.0 - d) / n_restart) + F.lit(d * dm / n_restart),
+                ).otherwise(F.lit(0.0))
+                new_rank = restart + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))
+            else:
+                new_rank = (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
+                )
             nxt = stepm.step(
                 ranks.join(sums.withColumnRenamed("dst", "id"), "id", "left_outer")
                 .select(
@@ -192,6 +231,7 @@ def pagerank(
                     new_rank.alias("new_rank"),
                     F.abs(new_rank - F.col("rank")).alias("delta"),
                     "is_dangling",
+                    *(["is_source"] if src_df is not None else []),
                 )
                 .withColumnRenamed("new_rank", "rank"),
                 superstep,
@@ -203,7 +243,10 @@ def pagerank(
             max_delta = row["max_delta"] or 0.0
             dm = row["dm"] or 0.0
             stepm.advance(nxt, superstep)
-            ranks = nxt.select("id", "rank", "is_dangling")
+            keep = ["id", "rank", "is_dangling"] + (
+                ["is_source"] if src_df is not None else []
+            )
+            ranks = nxt.select(*keep)
             metrics.append(
                 {
                     "run_id": run_id,

@@ -184,3 +184,48 @@ def test_cc_star_matches_union_find_and_converges_fast(spark):
     assert got == components_oracle(path)
     assert res.converged
     assert res.supersteps <= 12, res.supersteps
+
+
+def test_personalized_pagerank(spark):
+    """PPR vs a dense NumPy oracle: restart + dangling mass return to
+    the source set only."""
+    pairs = TOY7
+    sources = ["a", "f"]
+    res = pagerank(
+        spark, edges_df(spark, pairs), tol=1e-9, max_iter=300, sources=sources
+    )
+    got = _ranks(res.vertices)
+
+    ids = sorted({x for e in pairs for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n, d = len(ids), 0.85
+    import numpy as _np
+
+    from collections import defaultdict
+    out = defaultdict(set)
+    for s, t in pairs:
+        out[s].add(t)
+    e_s = _np.zeros(n)
+    for s in sources:
+        e_s[idx[s]] = 1.0 / len(sources)
+    r = e_s.copy()
+    for _ in range(100_000):
+        nxt = _np.zeros(n)
+        dm = 0.0
+        for v in ids:
+            if out[v]:
+                for t in out[v]:
+                    nxt[idx[t]] += r[idx[v]] / len(out[v])
+            else:
+                dm += r[idx[v]]
+        new = (1 - d) * e_s + d * (nxt + dm * e_s)
+        if _np.abs(new - r).max() < 1e-12:
+            r = new
+            break
+        r = new
+    for v in ids:
+        assert np.isclose(got[v], r[idx[v]], atol=1e-6), (v, got[v], r[idx[v]])
+    assert res.converged
+    # mass concentrates on/near sources; far component without source
+    # mass only via its own source f
+    assert got["f"] + got["g"] > 0.3
