@@ -241,6 +241,12 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=8, window=4)
 
 
+def q_winnow_near_dup(spark, sf_dir):
+    from pregel_spark.pipeline import winnow_near_dup_pairs
+
+    return winnow_near_dup_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
 def q_fingerprint(spark, sf_dir):
     from pregel_spark.pipeline import fingerprint
 
@@ -384,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_near_dup": q_winnow_near_dup,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "language_id": q_language_id,

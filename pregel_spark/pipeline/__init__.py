@@ -13,6 +13,7 @@ from .textstats import (
     quality_score,
     token_stats,
     winnow_fingerprints,
+    winnow_near_dup_pairs,
 )
 from .dedup import (
     embedding_near_dup_pairs,
@@ -32,6 +33,7 @@ __all__ = [
     "quality_score",
     "token_stats",
     "winnow_fingerprints",
+    "winnow_near_dup_pairs",
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

@@ -146,6 +146,54 @@ def winnow_fingerprints(
     )
 
 
+def winnow_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    max_fp_df: int = 100,
+) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint overlap (a < b):
+    overlap = |fp(a) ∩ fp(b)| / min(|fp(a)|, |fp(b)|) >= threshold.
+
+    Inverted-index join on shared fingerprints (never all-pairs);
+    fingerprints appearing in more than ``max_fp_df`` documents carry
+    no dedup signal and are dropped (same posting-list cutoff as
+    ngram_jaccard_pairs).
+    """
+    fps = winnow_fingerprints(docs, k, window, id_col).withColumnRenamed(
+        id_col, "id"
+    )
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = fps.join(
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_fp_df)
+        .select("fp"),
+        "fp",
+        "left_semi",
+    )
+    inter = (
+        rare.select("fp", F.col("id").alias("a"))
+        .join(rare.select("fp", F.col("id").alias("b")), "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "overlap",
+            F.round(
+                F.col("inter") / F.least("sza", "szb").cast("double"), 6
+            ),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("a", "b", "overlap")
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of case-folded, whitespace-collapsed
     text — the canonical-form hash used for exact near-layout dedup."""

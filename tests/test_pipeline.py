@@ -268,3 +268,23 @@ def test_winnow_fingerprints_properties(spark):
     assert overlap >= 0.6, overlap                # shift-robust
     cross = len(fps[0] & fps[3]) / len(fps[0])
     assert cross <= 0.1, cross                    # unrelated ~disjoint
+
+
+def test_winnow_near_dup_pairs(spark):
+    from pregel_spark.pipeline import winnow_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),
+            (2, "NEW PREFIX " + base),
+            (3, "zebra xylophone quartz jackdaw vermilion obsidian nimbus"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]): r["overlap"]
+           for r in winnow_near_dup_pairs(docs, threshold=0.5).collect()}
+    assert got[(0, 1)] == 1.0            # identical docs: full overlap
+    assert (0, 2) in got and (1, 2) in got   # shifted content found
+    assert all(3 not in p for p in got)      # unrelated doc excluded
