@@ -62,7 +62,8 @@ def main():
         df = qs[name](spark, SF_DIR)
         force(df)
         timings[name] = round(time.monotonic() - t0, 3)
-    # north metric: PageRank edges/sec + supersteps/hour at this SF
+    # north metric: PageRank edges/sec + supersteps/hour at this SF;
+    # loop-only throughput from the engine's own per-superstep metrics
     from pregel_spark.graph import pagerank
 
     edges = entrymod._edges(spark, SF_DIR)
@@ -71,10 +72,14 @@ def main():
     res = pagerank(spark, edges, tol=1e-6, max_iter=100, pre_deduped=True)
     res.vertices.write.format("noop").mode("overwrite").save()
     wall = time.monotonic() - t0
+    loop_sec = sum(m["wall_ms"] for m in res.metrics) / 1000.0 or wall
     extra["pagerank_supersteps"] = res.supersteps
     extra["pagerank_wall_sec"] = round(wall, 3)
-    extra["pagerank_edges_per_sec"] = round(n_edges * res.supersteps / wall, 1)
-    extra["pagerank_supersteps_per_hour"] = round(res.supersteps / wall * 3600, 1)
+    extra["pagerank_loop_sec"] = round(loop_sec, 3)
+    extra["pagerank_edges_per_sec"] = round(n_edges * res.supersteps / loop_sec, 1)
+    extra["pagerank_supersteps_per_hour"] = round(
+        res.supersteps / loop_sec * 3600, 1
+    )
     extra["n_edges"] = n_edges
 
     total = round(sum(timings.values()), 3)
