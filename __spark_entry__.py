@@ -156,6 +156,13 @@ def q_connected_components(spark, sf_dir):
     return res.vertices.select("id", "component")
 
 
+def q_connected_components_star(spark, sf_dir):
+    from pregel_spark.graph import connected_components_star
+
+    res = connected_components_star(spark, _edges(spark, sf_dir))
+    return res.vertices.select("id", "component")
+
+
 def q_comp_sizes_topk(spark, sf_dir):
     from pregel_spark.graph import connected_components
 
@@ -378,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_k3": q_pagerank_k3,
         "pagerank_full": q_pagerank_full,
         "connected_components": q_connected_components,
+        "connected_components_star": q_connected_components_star,
         "comp_sizes_topk": q_comp_sizes_topk,
         "triangle_count": q_triangle_count,
         "triangle_per_vertex": q_triangle_per_vertex,
@@ -446,6 +454,12 @@ r3 AS (SELECT v.id, (1 - 0.85) / nn + 0.85 * (COALESCE(s3.s, 0.0) + d2.dm / nn) 
 SELECT id, round(rank, 6) AS rank FROM r3
 """,
         "connected_components": f"""
+WITH RECURSIVE {edges_cte},
+{_UE_CTE},
+{_CC_CTE}
+SELECT id, component FROM comp
+""",
+        "connected_components_star": f"""
 WITH RECURSIVE {edges_cte},
 {_UE_CTE},
 {_CC_CTE}
