@@ -80,6 +80,7 @@ def connected_components(
     frontier = labels  # superstep 1: every vertex announces its label
 
     start_step, metrics = 1, []
+    n_metrics_appended = 0
     if resume and ckpt is not None:
         latest = ckpt.latest()
         if latest is not None:
@@ -129,7 +130,8 @@ def connected_components(
             )
             if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
                 ckpt.save(superstep, labels, frontier, meta={"changed": changed})
-                ckpt.append_metrics(spark, metrics[-checkpoint_interval:])
+                ckpt.append_metrics(spark, metrics[n_metrics_appended:])
+                n_metrics_appended = len(metrics)
             if changed == 0:
                 converged = True
                 break

@@ -126,12 +126,20 @@ class StepMaterializer:
             out = df.persist()
         return out
 
-    def advance(self, new_df: DataFrame, superstep: int) -> None:
-        """Call AFTER an action has filled new_df's cache."""
+    def advance(
+        self, new_df: DataFrame, superstep: int, persisted: bool | None = None
+    ) -> None:
+        """Call AFTER an action has filled new_df's cache. ``persisted``
+        overrides the superstep-derived inference for frames that were
+        not produced by :meth:`step` (e.g. an initial ``.persist()``-ed
+        state seeded before the loop — inferring from ``superstep %
+        cut_interval`` would mark it checkpointed and leak its cache)."""
         if self._prev is not None and self._prev_was_persist:
             self._prev.unpersist()
         self._prev = new_df
-        self._prev_was_persist = superstep % self.cut_interval != 0
+        if persisted is None:
+            persisted = superstep % self.cut_interval != 0
+        self._prev_was_persist = persisted
 
 
 @dataclass
@@ -339,6 +347,7 @@ class Pregel:
         n_vertices = state.count()
         msgs = initial_msgs
         metrics: list[dict] = []
+        n_metrics_appended = 0  # high-water mark: each row is appended once
 
         if resume and self.ckpt is not None:
             latest = self.ckpt.latest()
@@ -389,6 +398,7 @@ class Pregel:
                 new_state = computed.select("id", "value", "halted").unionByName(
                     passthrough
                 )
+                vertex_set_mutated = False
                 if with_mutations:
                     mut_rows = materialize(
                         computed.select(F.explode("muts").alias("m")).select("m.*")
@@ -398,7 +408,15 @@ class Pregel:
                             new_state, cur_edges, mut_rows, value_type,
                             with_adjacency, n_part,
                         )
+                        # add/delete-vertex changes N for every later
+                        # superstep (ComputeContext.num_vertices and the
+                        # checkpointed meta that resume trusts)
+                        vertex_set_mutated = (
+                            mut_rows.filter(F.col("kind").isin(1, 2)).count() > 0
+                        )
                 state = materialize(new_state.repartition(n_part, "id"))
+                if vertex_set_mutated:
+                    n_vertices = state.count()
                 msgs = materialize(
                     computed.select(F.explode("out").alias("o"))
                     .select(F.col("o.dst").alias("id"), F.col("o.msg").alias("msg"))
@@ -438,7 +456,8 @@ class Pregel:
                             "active": active_cnt,
                         },
                     )
-                    self.ckpt.append_metrics(spark, metrics[-self.checkpoint_interval :])
+                    self.ckpt.append_metrics(spark, metrics[n_metrics_appended:])
+                    n_metrics_appended = len(metrics)
                 if msg_cnt == 0 and active_cnt == 0:
                     converged = True
                     break

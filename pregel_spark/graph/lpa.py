@@ -71,6 +71,7 @@ def label_propagation(
     )
 
     start_step, metrics = 1, []
+    n_metrics_appended = 0
     if resume and ckpt is not None:
         latest = ckpt.latest()
         if latest is not None:
@@ -116,7 +117,8 @@ def label_propagation(
             )
             if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
                 ckpt.save(superstep, labels, meta={"changed": changed})
-                ckpt.append_metrics(spark, metrics[-checkpoint_interval:])
+                ckpt.append_metrics(spark, metrics[n_metrics_appended:])
+                n_metrics_appended = len(metrics)
             if changed == 0:
                 converged = True
                 break

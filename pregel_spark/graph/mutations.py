@@ -22,11 +22,17 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def add_vertices(vertices: DataFrame, new: DataFrame) -> DataFrame:
-    """M1 (``pregel/vertex.lua:140-147``): insert, first-writer-wins on
-    duplicate ids (matches apply order determinism)."""
-    return (
-        vertices.unionByName(new.select(*vertices.columns))
+    """M1 (``pregel/vertex.lua:140-147``): insert; an id that already
+    exists keeps its CURRENT row (the reference skips the insert with
+    'vertex exists'). A plain ``dropDuplicates`` after the union would
+    keep an arbitrary row per id — nondeterministic — so only genuinely
+    new ids are inserted via anti-join (same pattern as the engine's
+    barrier path)."""
+    return vertices.unionByName(
+        new.select(*vertices.columns)
         .dropDuplicates(["id"])
+        .join(vertices, "id", "left_anti")
+        .select(*vertices.columns)
     )
 
 

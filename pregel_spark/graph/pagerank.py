@@ -191,9 +191,10 @@ def pagerank(
         F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("dm")
     ).collect()[0]
     dm = row["dm"] or 0.0
-    stepm.advance(ranks, superstep=1)  # initial state is persisted
+    stepm.advance(ranks, superstep=1, persisted=True)  # initial state is persisted
 
     start_step, metrics = 1, []
+    n_metrics_appended = 0
     if resume and ckpt is not None:
         latest = ckpt.latest()
         if latest is not None:
@@ -271,7 +272,8 @@ def pagerank(
                         "numeric_ids": vmap is not None,
                     },
                 )
-                ckpt.append_metrics(spark, metrics[-checkpoint_interval:])
+                ckpt.append_metrics(spark, metrics[n_metrics_appended:])
+                n_metrics_appended = len(metrics)
             if done:
                 converged = True
                 break
