@@ -295,10 +295,12 @@ def q_simsearch_ivf(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    from pregel_spark.pipeline import media_features
-    from pregel_spark.pipeline.multimodal import make_fake_media
+    from pregel_spark.pipeline import media_feature_rows, media_from_documents
 
-    return media_features(make_fake_media(spark, n=64))
+    # documents.text bytes play the opaque binary payload: the full
+    # mapInPandas decode plumbing runs, and the scalar-per-dim output is
+    # sortable + DuckDB-checkable (strided byte means, see multimodal.py)
+    return media_feature_rows(media_from_documents(_docs(spark, sf_dir)))
 
 
 # --------------------------- relational -------------------------------
@@ -626,6 +628,33 @@ SELECT doc_id,
             WHEN v_es = greatest(v_de, v_en, v_es, v_fr) THEN 'es'
             ELSE 'fr' END AS lang_pred
 FROM v
+""",
+        "media_features": """
+WITH b AS (
+    SELECT doc_id AS media_id,
+           (doc_id % 3) AS kd,
+           length(text) AS n_bytes,
+           (i - 1) % 16 AS dim,
+           ascii(text[i]) AS byte
+    FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+),
+f AS (
+    SELECT media_id, kd, n_bytes, dim, round(avg(byte) / 255.0, 6) AS value
+    FROM b GROUP BY media_id, kd, n_bytes, dim
+),
+dims AS (
+    SELECT m.media_id, m.kd, m.n_bytes, d.dim
+    FROM (SELECT doc_id AS media_id, (doc_id % 3) AS kd, length(text) AS n_bytes
+          FROM documents) m,
+         UNNEST(range(0, 16)) AS d(dim)
+)
+SELECT dims.media_id,
+       CASE dims.kd WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       dims.n_bytes,
+       CAST(dims.dim AS INTEGER) AS dim,
+       COALESCE(f.value, 0.0) AS value
+FROM dims LEFT JOIN f
+  ON f.media_id = dims.media_id AND f.dim = dims.dim
 """,
         "simsearch_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

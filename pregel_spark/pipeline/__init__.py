@@ -24,7 +24,12 @@ from .dedup import (
     simhash_pairs,
 )
 from .simsearch import brute_force_topk, ivf_topk
-from .multimodal import decode_media_batch, media_features
+from .multimodal import (
+    decode_media_batch,
+    media_feature_rows,
+    media_features,
+    media_from_documents,
+)
 
 __all__ = [
     "embedding_near_dup_pairs",
@@ -42,5 +47,7 @@ __all__ = [
     "brute_force_topk",
     "ivf_topk",
     "decode_media_batch",
+    "media_feature_rows",
     "media_features",
+    "media_from_documents",
 ]

@@ -31,14 +31,21 @@ FEATURE_DIM = 16
 
 
 def _fake_decode(payload: bytes | None, kind: str) -> np.ndarray:
-    """Deterministic stand-in for decode+feature-extract: a FEATURE_DIM
-    vector derived from the payload bytes. Replace with a real decoder
-    (PIL / torchaudio / ffmpeg frame sampling) in production."""
+    """Deterministic stand-in for decode+feature-extract: feature ``d``
+    is the mean of payload bytes at positions ``d, d+16, d+32, ...``
+    scaled to [0,1] (strided means — simple enough that the DuckDB
+    oracle reproduces it exactly from the same bytes). Replace with a
+    real decoder (PIL / torchaudio / ffmpeg frame sampling) in
+    production."""
     if payload is None or len(payload) == 0:
         return np.zeros(FEATURE_DIM, dtype=np.float64)
-    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-    chunks = np.array_split(arr.astype(np.float64), FEATURE_DIM)
-    return np.array([c.mean() if len(c) else 0.0 for c in chunks]) / 255.0
+    arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+    return np.array(
+        [
+            arr[d::FEATURE_DIM].mean() if d < len(arr) else 0.0
+            for d in range(FEATURE_DIM)
+        ]
+    ) / 255.0
 
 
 def decode_media_batch(
@@ -75,6 +82,47 @@ def media_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     return media.mapInPandas(
         _kernel,
         schema="media_id long, kind string, n_bytes long, features array<double>",
+    )
+
+
+def media_feature_rows(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """:func:`media_features` exploded to one row per feature dimension:
+    (media_id, kind, n_bytes, dim, value) with ``value`` rounded to 6
+    decimals. The scalar-per-row shape is sortable/hashable — the form
+    an oracle (or a downstream join) consumes; the array form stays the
+    storage/API shape."""
+    feats = media_features(media, decoder=decoder)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("dim", "value"),
+    ).select(
+        "media_id", "kind", "n_bytes", "dim", F.round("value", 6).alias("value")
+    )
+
+
+def media_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media table derived from a documents table: the
+    UTF-8 bytes of ``text`` play the opaque payload (kind cycles
+    image/audio/video by id). Lets the full binary-column pipeline run
+    against parquet-backed data that an external SQL oracle can also
+    reach — the real-world analog is a (media_id, payload) table where
+    payload came from object storage."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
     )
 
 
