@@ -303,6 +303,141 @@ def q_media_features(spark, sf_dir):
     return media_feature_rows(media_from_documents(_docs(spark, sf_dir)))
 
 
+# ----------------- programmatic DuckDB oracle builders ----------------
+# All reproduce Spark-side operators bit-exactly because those operators
+# hash with the engine-portable 60-bit md5 hash (pipeline/hashing.py).
+
+_H60 = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT::BIGINT)"
+
+_WINNOW_FP_CTE = rf"""
+g AS (
+    SELECT doc_id, i AS pos,
+           {_H60.format(x="substr(text, i, 8)")} AS h
+    FROM documents, UNNEST(range(1, greatest(length(text) - 7, 0) + 1)) AS u(i)
+),
+wm AS (
+    SELECT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM g
+),
+fps AS (SELECT DISTINCT doc_id AS id, fp FROM wm)
+"""
+
+WINNOW_FP_SQL = f"WITH {_WINNOW_FP_CTE} SELECT id AS doc_id, fp FROM fps"
+
+WINNOW_PAIRS_SQL = f"""
+WITH {_WINNOW_FP_CTE},
+sizes AS (SELECT id, count(*) AS sz FROM fps GROUP BY id),
+dfreq AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+rare AS (SELECT f.id, f.fp FROM fps f JOIN dfreq USING (fp) WHERE dfreq.c <= 100),
+inter AS (SELECT x.id AS a, y.id AS b, count(*) AS i
+          FROM rare x JOIN rare y ON x.fp = y.fp AND x.id < y.id
+          GROUP BY x.id, y.id),
+ov AS (SELECT a, b, round(i / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS overlap
+       FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b)
+SELECT a, b, overlap FROM ov WHERE overlap >= 0.3
+"""
+
+
+def _minhash_sql(threshold=0.1, num_hashes=32, bands=8, max_k=3) -> str:
+    """Unrolled MinHash+LSH: seeded 60-bit signature mins, band-key
+    equality candidates, true-Jaccard verify — mirrors
+    dedup.minhash_lsh_pairs(hash_fn='md5') exactly."""
+    r = num_hashes // bands
+    hash_cols = ",\n           ".join(
+        _H60.format(x=f"('{i}:' || sh)") + f" AS h{i}" for i in range(num_hashes)
+    )
+    sig_cols = ", ".join(f"min(h{i}) AS m{i}" for i in range(num_hashes))
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT id, {b} AS band, {ks} FROM sig".format(
+            b=bi,
+            ks=", ".join(f"m{bi * r + j} AS k{j}" for j in range(r)),
+        )
+        for bi in range(bands)
+    )
+    band_eq = " AND ".join(f"x.k{j} = y.k{j}" for j in range(r))
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0),
+sh0 AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+{max_k - 1}], ' ')
+                          for i in range(1, len(w) - {max_k - 2})]) AS shs
+    FROM toks WHERE len(w) >= {max_k}),
+sh AS (SELECT doc_id AS id, unnest(shs) AS sh FROM sh0),
+hs AS (
+    SELECT id, sh,
+           {hash_cols}
+    FROM sh),
+sig AS (SELECT id, {sig_cols} FROM hs GROUP BY id),
+bandtab AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT x.id AS a, y.id AS b
+    FROM bandtab x JOIN bandtab y
+      ON x.band = y.band AND {band_eq} AND x.id < y.id),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+iv AS (
+    SELECT c.a, c.b, count(*) AS i
+    FROM cand c
+    JOIN sh sx ON sx.id = c.a
+    JOIN sh sy ON sy.id = c.b AND sy.sh = sx.sh
+    GROUP BY c.a, c.b),
+j AS (SELECT a, b, round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+      FROM iv JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b)
+SELECT a, b, jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
+def _simhash_sql(max_hamming=16) -> str:
+    """Unrolled SimHash: FNV-1a 64 per token (the same function as
+    dedup.hash64), per-bit majority votes, exact all-pairs Hamming
+    filter. Candidates need no banding in the oracle — the pair SET is
+    what is compared, and banding recall is 1 by construction
+    (dedup.simhash_bands), so exact all-pairs equals the Spark result."""
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    fp_sum = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
+        for b in range(64)
+    )
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS w
+    FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+h AS (
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                   [ascii(tk[i])::HUGEINT for i in range(1, length(tk) + 1)]),
+               (a, c) -> ((xor(a::UBIGINT, c::UBIGINT)::HUGEINT * 1099511628211)
+                          % 18446744073709551616)::HUGEINT
+           )::UBIGINT AS hv
+    FROM tok),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM h GROUP BY doc_id),
+fph AS (SELECT doc_id, ({fp_sum}) AS f FROM votes),
+fp AS (
+    SELECT d.doc_id,
+           COALESCE(CASE WHEN fph.f >= 9223372036854775808::HUGEINT
+                         THEN (fph.f - 18446744073709551616)::BIGINT
+                         ELSE fph.f::BIGINT END, 0) AS fp
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN fph USING (doc_id))
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS hamming
+FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.fp, y.fp)) <= {max_hamming}
+"""
+
+
 # --------------------------- relational -------------------------------
 
 PRICING_SQL = """
@@ -557,6 +692,10 @@ j AS (SELECT a, b,
       FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b)
 SELECT a, b, jaccard FROM j WHERE jaccard >= 0.1
 """,
+        "dedup_minhash": _minhash_sql(threshold=0.1),
+        "dedup_simhash": _simhash_sql(max_hamming=16),
+        "winnow_fingerprints": WINNOW_FP_SQL,
+        "winnow_near_dup": WINNOW_PAIRS_SQL,
         "dedup_embedding": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS a, b.vec_id AS b,
@@ -677,6 +816,6 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
         "window_running": WINDOW_RUNNING_SQL,
         "distinct_agg": DISTINCT_AGG_SQL,
         # rows-only (non-SQL-expressible; exact pytest oracles instead):
-        # pagerank_full, dedup_minhash, dedup_simhash, simsearch_ivf,
-        # media_features, winnow_fingerprints (Spark-internal xxhash64)
+        # pagerank_full (iterate-to-convergence), simsearch_ivf
+        # (approximate by design; exact NumPy oracle in tests/)
     }

@@ -115,9 +115,13 @@ def minhash_signatures(
     num_hashes: int = 32,
     k: int = 3,
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, sig array<long>) — sig[i] = min over shingles of
-    xxhash64(seed_i, shingle).
+    H(i, shingle), where H is the engine-portable seeded 60-bit md5
+    hash (hashing.py; any SQL engine reproduces the signatures exactly)
+    or Spark-internal ``xxhash64(i, shingle)`` with
+    ``hash_fn='xxhash64'`` for max throughput.
 
     Shape: explode shingles to rows, then ONE aggregation with
     ``num_hashes`` min() functions. (A pure-expression variant —
@@ -127,13 +131,20 @@ def minhash_signatures(
     explode also keeps rows narrow at 100 TB: partial aggregation
     collapses each map partition to one row per doc before the
     shuffle."""
+    from .hashing import seeded_hash60
+
+    if hash_fn == "md5":
+        def h(i):
+            return seeded_hash60(i, F.col("sh"))
+    else:
+        def h(i):
+            return F.xxhash64(F.lit(i), F.col("sh"))
+
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles_col(k)).alias("sh")
     )
     return sh.groupBy("id").agg(
-        F.array(
-            *[F.min(F.xxhash64(F.lit(i), F.col("sh"))) for i in range(num_hashes)]
-        ).alias("sig")
+        F.array(*[F.min(h(i)) for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -144,12 +155,13 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate pairs from banded MinHash buckets, verified against
     true shingle Jaccard. Returns (a, b, jaccard) with a < b."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, k, id_col).filter(
+    sigs = minhash_signatures(docs, num_hashes, k, id_col, hash_fn).filter(
         F.col("sig").isNotNull()
     )
     banded = sigs.select(
@@ -204,17 +216,26 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    lsh_bits: int = 0,
+    mode: str = "auto",
+    bands: int = 16,
+    rows_per_band: int = 2,
     seed: int = 42,
+    exact_limit: int = 20_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold (a < b).
 
-    ``lsh_bits=0``: exact all-pairs (the correctness baseline; the
-    cross join is fine when one side broadcasts). ``lsh_bits>0``: scale
-    path — sign-LSH bucketing on ``lsh_bits`` deterministic pseudo-
-    random hyperplanes (seeded hash-derived, no stored model); only
-    same-bucket pairs are scored, then exact-verified. High-threshold
-    near-dups flip few signs, so recall stays high with few bits.
+    ``mode='exact'``: all-pairs — the correctness baseline, O(n²)
+    candidate pairs, acceptable only for small n (the cross join
+    broadcasts one side). ``mode='lsh'``: the scale path — banded
+    sign-LSH: ``bands`` independent bands of ``rows_per_band``
+    deterministic pseudo-random hyperplanes each (seeded hash-derived,
+    no stored model); a pair is a candidate iff ALL signs in SOME band
+    agree, then candidates are exact-verified, so precision is always 1
+    and recall is 1-(1-p^r)^b with p = 1-θ/π (defaults give 0.9997 at
+    cosine 0.4, higher above). ``mode='auto'`` (default) picks exact
+    for n <= ``exact_limit`` and lsh above — the cartesian can never
+    reach a large input (pass ``n_rows`` to skip the count job).
     """
     from pyspark.sql import functions as FF
 
@@ -228,39 +249,65 @@ def embedding_near_dup_pairs(
     base = embs.select(
         FF.col(id_col).alias("id"), FF.col(vec_col).alias("v"), norm.alias("nrm")
     )
-    if lsh_bits > 0:
-        # hyperplane h_b[i] = int-hash(seed, b, i) mapped to [-0.5, 0.5)
-        def plane(b: int):
-            return FF.transform(
-                FF.col("v"),
-                lambda x, i: x.cast("double")
-                * (
-                    FF.pmod(FF.xxhash64(FF.lit(seed), FF.lit(b), i), FF.lit(1000))
-                    / 1000.0
-                    - 0.5
+    if mode == "auto":
+        n = n_rows if n_rows is not None else embs.count()
+        mode = "exact" if n <= exact_limit else "lsh"
+    if mode == "lsh":
+        # hyperplane p: component i = hash(seed, p, i) mapped to
+        # [-0.5, 0.5); sign bit = (v · plane_p) >= 0. Band key packs
+        # rows_per_band sign bits.
+        def sign_bit(p: int):
+            proj = FF.aggregate(
+                FF.transform(
+                    FF.col("v"),
+                    lambda x, i: x.cast("double")
+                    * (
+                        FF.pmod(
+                            FF.xxhash64(FF.lit(seed), FF.lit(p), i), FF.lit(1000)
+                        )
+                        / 1000.0
+                        - 0.5
+                    ),
                 ),
+                FF.lit(0.0),
+                lambda a, x: a + x,
             )
+            return FF.when(proj >= 0, FF.lit(1)).otherwise(FF.lit(0))
 
-        sig = FF.concat(
-            *[
-                FF.when(
-                    FF.aggregate(plane(b), FF.lit(0.0), lambda a, x: a + x) >= 0,
-                    FF.lit("1"),
-                ).otherwise(FF.lit("0"))
-                for b in range(lsh_bits)
-            ]
-        )
-        base = base.withColumn("bucket", sig)
-        a = base.select(
+        banded = base.select(
+            "id",
+            "v",
+            "nrm",
+            FF.explode(
+                FF.array(
+                    *[
+                        FF.struct(
+                            FF.lit(b).alias("band"),
+                            sum(
+                                sign_bit(b * rows_per_band + j) * (1 << j)
+                                for j in range(rows_per_band)
+                            ).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("id", "v", "nrm", "bk.band", "bk.key")
+        a = banded.select(
             FF.col("id").alias("a"), FF.col("v").alias("va"),
-            FF.col("nrm").alias("na"), "bucket",
+            FF.col("nrm").alias("na"), "band", "key",
         )
-        b = base.select(
+        b = banded.select(
             FF.col("id").alias("b"), FF.col("v").alias("vb"),
-            FF.col("nrm").alias("nb"), "bucket",
+            FF.col("nrm").alias("nb"), "band", "key",
         )
-        cand = a.join(b, "bucket").filter(FF.col("a") < FF.col("b"))
-    else:
+        cand = (
+            a.join(b, ["band", "key"])
+            .filter(FF.col("a") < FF.col("b"))
+            .select("a", "b", "va", "vb", "na", "nb")
+            .dropDuplicates(["a", "b"])
+        )
+    elif mode == "exact":
         a = base.select(
             FF.col("id").alias("a"), FF.col("v").alias("va"), FF.col("nrm").alias("na")
         )
@@ -268,6 +315,8 @@ def embedding_near_dup_pairs(
             FF.col("id").alias("b"), FF.col("v").alias("vb"), FF.col("nrm").alias("nb")
         )
         cand = a.join(b, FF.col("a") < FF.col("b"))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     dot = FF.aggregate(
         FF.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
         FF.lit(0.0),
@@ -325,14 +374,36 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return inp.mapInPandas(_simhash_batch, schema="id long, fp long")
 
 
+def simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) bit-bands for pigeonhole candidate generation:
+    ``max_hamming + 1`` contiguous bands covering the 64 fingerprint
+    bits (widths differ by at most one). Any pair within Hamming
+    ``max_hamming`` has <= max_hamming differing bits spread over
+    ``max_hamming + 1`` bands, so at least one band matches exactly —
+    recall over candidates is 1 by construction for EVERY
+    ``max_hamming`` (a fixed 4x16 split only guarantees Hamming <= 3)."""
+    n_bands = min(max_hamming + 1, 64)
+    base, extra = divmod(64, n_bands)
+    bands, shift = [], 0
+    for c in range(n_bands):
+        width = base + (1 if c < extra else 0)
+        bands.append((shift, width))
+        shift += width
+    return bands
+
+
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
     """Near-dup pairs with Hamming(fp_a, fp_b) <= max_hamming.
 
-    Pigeonhole banding on four 16-bit chunks: any pair within Hamming
-    3 agrees on >=1 chunk, so the join touches only same-chunk buckets.
-    Exact distance check via native bit_count(xor).
+    Pigeonhole banding on ``max_hamming + 1`` bit-bands (see
+    :func:`simhash_bands`) guarantees every qualifying pair shares at
+    least one band, so the join touches only same-band buckets; exact
+    distance check via native ``bit_count(xor)``. Note the scale
+    trade-off is inherent to SimHash: large ``max_hamming`` means
+    narrow bands (64/(h+1) bits), hence bigger buckets — pick
+    ``max_hamming`` <= ~7 (8-bit bands) for web-scale corpora.
     """
     fps = simhash_fingerprints(docs, id_col)
     chunks = fps.select(
@@ -343,9 +414,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("fp", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftright("fp", shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
                     )
-                    for c in range(4)
+                    for c, (shift, width) in enumerate(simhash_bands(max_hamming))
                 ]
             )
         ).alias("cb"),

@@ -110,11 +110,16 @@ def winnow_fingerprints(
     k: int = 8,
     window: int = 4,
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al.): hash every character
     k-gram, min-sample one hash per sliding window of ``window``
     consecutive k-grams, dedup. Robust to insertions/shifts — two
     documents sharing a long-enough substring share fingerprints.
+    Documents shorter than ``k`` characters (incl. empty/null) have no
+    k-grams and therefore NO fingerprints — guarded explicitly because
+    ``sequence(1, 0)`` would otherwise auto-descend to ``[1, 0]`` and
+    fabricate grams for short docs.
 
     Shape: explode per-position k-gram hashes to rows, min-sample with
     a bounded ROWS window frame, dedup — no per-row array expression
@@ -122,18 +127,26 @@ def winnow_fingerprints(
     windowed min is a partition-local streaming pass. Returns
     (doc_id, fp long) exploded — the natural shape for an inverted
     fingerprint index at scale.
+
+    ``hash_fn='md5'`` (default) uses the engine-portable 60-bit hash
+    (hashing.py) so external oracles reproduce fingerprints exactly;
+    ``'xxhash64'`` trades that for max throughput.
     """
     from pyspark.sql import Window
 
+    from .hashing import hash60
+
+    gram_hash = hash60 if hash_fn == "md5" else F.xxhash64
     n_grams = F.greatest(F.length("text") - F.lit(k - 1), F.lit(0))
+    gram_arr = F.when(n_grams < 1, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: gram_hash(F.col("text").substr(i, F.lit(k))),
+        )
+    )
     grams = docs.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n_grams),
-                lambda i: F.xxhash64(F.col("text").substr(i, F.lit(k))),
-            )
-        ).alias("pos", "h"),
+        F.posexplode(gram_arr).alias("pos", "h"),
     )
     w = (
         Window.partitionBy(id_col)
@@ -153,6 +166,7 @@ def winnow_near_dup_pairs(
     window: int = 4,
     id_col: str = "doc_id",
     max_fp_df: int = 100,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint overlap (a < b):
     overlap = |fp(a) ∩ fp(b)| / min(|fp(a)|, |fp(b)|) >= threshold.
@@ -162,7 +176,7 @@ def winnow_near_dup_pairs(
     no dedup signal and are dropped (same posting-list cutoff as
     ngram_jaccard_pairs).
     """
-    fps = winnow_fingerprints(docs, k, window, id_col).withColumnRenamed(
+    fps = winnow_fingerprints(docs, k, window, id_col, hash_fn).withColumnRenamed(
         id_col, "id"
     )
     sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))

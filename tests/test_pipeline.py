@@ -237,11 +237,78 @@ def test_embedding_near_dup_exact_and_lsh(spark):
     for k in want:
         assert np.isclose(exact[k], want[k], atol=1e-6)
     assert (10, 50) in exact and (20, 60) in exact
-    # sign-LSH path finds the planted near-dups and verifies exactly
+    # banded sign-LSH path finds the planted near-dups and verifies exactly
     lsh = {(r["a"], r["b"]) for r in
-           embedding_near_dup_pairs(emb, threshold=0.95, lsh_bits=4).collect()}
+           embedding_near_dup_pairs(emb, threshold=0.95, mode="lsh").collect()}
     assert {(10, 50), (20, 60)} <= lsh
     assert lsh <= exact.keys()
+
+
+def test_embedding_lsh_recall_on_testdata(spark):
+    """The auto-mode scale path (banded sign-LSH) must recover nearly
+    every exact pair on the real sf0.01 embeddings at the contract's
+    threshold 0.4 — the worst case for sign-LSH (low-cosine pairs flip
+    many signs)."""
+    from pregel_spark.pipeline import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r["a"], r["b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(emb, threshold=0.4, mode="exact").collect()}
+    lsh = {(r["a"], r["b"]): r["cosine"]
+           for r in embedding_near_dup_pairs(emb, threshold=0.4, mode="lsh").collect()}
+    assert set(lsh) <= set(exact)          # precision 1 (exact verify)
+    for p, c in lsh.items():
+        assert np.isclose(c, exact[p], atol=1e-6)
+    recall = len(lsh) / max(len(exact), 1)
+    assert recall >= 0.95, (recall, len(exact), len(lsh))
+
+
+def test_simhash_banding_recall(spark):
+    """Pigeonhole banding must have recall 1 at EVERY max_hamming: the
+    returned pair set equals the exact all-pairs Hamming filter over
+    the fingerprints (the round-1 fixed 4x16 banding silently dropped
+    pairs for max_hamming > 3)."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=20).tolist()))
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["id"]: r["fp"] for r in simhash_fingerprints(docs).collect()}
+
+    def ham(a, b):
+        return bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+
+    for mh in (3, 10, 16):
+        got = {(r["a"], r["b"]) for r in
+               simhash_pairs(docs, max_hamming=mh).collect()}
+        want = {(a, b) for a, b in combinations(sorted(fps), 2)
+                if ham(a, b) <= mh}
+        assert got == want, (mh, len(got), len(want))
+
+
+def test_winnow_short_docs_have_no_fingerprints(spark):
+    """Docs shorter than k chars (incl. empty/null) have no k-grams —
+    they must yield NO fingerprints and never appear as near-dup pairs
+    (regression: sequence(1,0) auto-descends and fabricated grams)."""
+    from pregel_spark.pipeline import winnow_fingerprints, winnow_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, ""),
+            (2, "short"),
+            (3, "tiny"),
+            (4, None),
+            (5, "a document comfortably longer than eight characters"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=8, window=4).collect()
+    assert {r["doc_id"] for r in fps} == {5}
+    pairs = winnow_near_dup_pairs(docs, threshold=0.1).collect()
+    assert pairs == []
 
 
 def test_winnow_fingerprints_properties(spark):
