@@ -97,20 +97,46 @@ def order_preserving_id_map(
     label assignments after mapping back: ``min(vid)`` picks the same
     vertex as ``min(id)`` because the mapping is monotone.
 
-    Scalable construction: range-repartition by id (globally ordered
-    partitions) + per-partition sort + ``zipWithIndex`` (one count
-    job to compute partition offsets) — no single-partition window.
+    Scalable, fully-native construction (zero Python in the row path —
+    the previous ``rdd.zipWithIndex`` round-tripped every row through
+    Python workers, the dominant setup cost of CC/LPA at scale):
+
+    1. range-repartition by id — partitions are globally ordered and
+       internally sorted;
+    2. ``monotonically_increasing_id`` on the frozen layout decomposes
+       as ``(partition_id << 33) | row_index_within_partition`` (its
+       documented construction), giving the intra-partition rank
+       without a window exchange;
+    3. per-partition counts (one tiny aggregation) -> cumulative
+       offsets, broadcast-joined back;
+       ``vid = offset[partition] + row_index``.
+
+    Requires distinct ids (callers pass the distinct vertex set); ties
+    would get arbitrary relative order across a range boundary.
     """
     spark = vertices.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sorted_df = (
+    base = (
         vertices.select("id")
         .repartitionByRange(n_part, "id")
         .sortWithinPartitions("id")
+        .withColumn("_m", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)  # freeze the nondeterministic ids
     )
-    return spark.createDataFrame(
-        sorted_df.rdd.zipWithIndex().map(lambda t: (t[0]["id"], t[1])),
-        "id string, vid long",
+    part = F.shiftrightunsigned("_m", 33)
+    local = F.col("_m").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = (
+        base.groupBy(part.alias("_p")).agg(F.count(F.lit(1)).alias("_c")).collect()
+    )
+    offsets, cum = [], 0
+    for r in sorted(counts, key=lambda r: r["_p"]):
+        offsets.append((r["_p"], cum))
+        cum += r["_c"]
+    odf = spark.createDataFrame(offsets, "_p long, _off long")
+    return (
+        base.withColumn("_p", part)
+        .join(F.broadcast(odf), "_p")
+        .select("id", (local + F.col("_off")).alias("vid"))
     )
 
 
