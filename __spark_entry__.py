@@ -142,6 +142,13 @@ def q_pagerank_k3(spark, sf_dir):
     return res.vertices.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_k8(spark, sf_dir):
+    from pregel_spark.graph import pagerank
+
+    res = pagerank(spark, _edges(spark, sf_dir), tol=0.0, max_iter=8, pre_deduped=True)
+    return res.vertices.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_pagerank_full(spark, sf_dir):
     from pregel_spark.graph import pagerank
 
@@ -304,6 +311,34 @@ def q_media_features(spark, sf_dir):
 
 
 # ----------------- programmatic DuckDB oracle builders ----------------
+
+
+def _pagerank_unrolled_sql(k: int, edges_sql: str) -> str:
+    """k supersteps of the exact PageRank recurrence (damping 0.85,
+    uniform dangling redistribution) as an unrolled CTE chain — DuckDB
+    has no loop construct, so each superstep is one (dangling-mass,
+    scatter-sum, update) CTE triple."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+d{i} AS (SELECT COALESCE(sum(rank), 0.0) AS dm FROM r{i}
+        WHERE id NOT IN (SELECT src FROM od)),
+s{i + 1} AS (SELECT e.dst AS id, sum(r{i}.rank / od.c) AS s
+        FROM e JOIN od ON e.src = od.src JOIN r{i} ON r{i}.id = e.src
+        GROUP BY e.dst),
+r{i + 1} AS (SELECT v.id,
+        (1 - 0.85) / nn + 0.85 * (COALESCE(s{i + 1}.s, 0.0) + d{i}.dm / nn) AS rank
+        FROM v CROSS JOIN n CROSS JOIN d{i}
+        LEFT JOIN s{i + 1} ON s{i + 1}.id = v.id)""")
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 / nn AS rank FROM v CROSS JOIN n),{",".join(steps)}
+SELECT id, round(rank, 6) AS rank FROM r{k}
+"""
 # All reproduce Spark-side operators bit-exactly because those operators
 # hash with the engine-portable 60-bit md5 hash (pipeline/hashing.py).
 
@@ -520,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_build": q_edges_build,
         "degrees": q_degrees,
         "pagerank_k3": q_pagerank_k3,
+        "pagerank_k8": q_pagerank_k8,
         "pagerank_full": q_pagerank_full,
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
@@ -566,30 +602,8 @@ SELECT ids.id,
        COALESCE(in_d.in_deg, 0) AS in_deg
 FROM ids LEFT JOIN out_d ON ids.id = out_d.id LEFT JOIN in_d ON ids.id = in_d.id
 """,
-        "pagerank_k3": f"""
-WITH {edges_cte},
-e AS (SELECT DISTINCT src, dst FROM e0),
-v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
-od AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src),
-r0 AS (SELECT id, 1.0 / nn AS rank FROM v CROSS JOIN n),
-d0 AS (SELECT COALESCE(sum(rank), 0.0) AS dm FROM r0 WHERE id NOT IN (SELECT src FROM od)),
-s1 AS (SELECT e.dst AS id, sum(r0.rank / od.c) AS s
-       FROM e JOIN od ON e.src = od.src JOIN r0 ON r0.id = e.src GROUP BY e.dst),
-r1 AS (SELECT v.id, (1 - 0.85) / nn + 0.85 * (COALESCE(s1.s, 0.0) + d0.dm / nn) AS rank
-       FROM v CROSS JOIN n CROSS JOIN d0 LEFT JOIN s1 ON s1.id = v.id),
-d1 AS (SELECT COALESCE(sum(rank), 0.0) AS dm FROM r1 WHERE id NOT IN (SELECT src FROM od)),
-s2 AS (SELECT e.dst AS id, sum(r1.rank / od.c) AS s
-       FROM e JOIN od ON e.src = od.src JOIN r1 ON r1.id = e.src GROUP BY e.dst),
-r2 AS (SELECT v.id, (1 - 0.85) / nn + 0.85 * (COALESCE(s2.s, 0.0) + d1.dm / nn) AS rank
-       FROM v CROSS JOIN n CROSS JOIN d1 LEFT JOIN s2 ON s2.id = v.id),
-d2 AS (SELECT COALESCE(sum(rank), 0.0) AS dm FROM r2 WHERE id NOT IN (SELECT src FROM od)),
-s3 AS (SELECT e.dst AS id, sum(r2.rank / od.c) AS s
-       FROM e JOIN od ON e.src = od.src JOIN r2 ON r2.id = e.src GROUP BY e.dst),
-r3 AS (SELECT v.id, (1 - 0.85) / nn + 0.85 * (COALESCE(s3.s, 0.0) + d2.dm / nn) AS rank
-       FROM v CROSS JOIN n CROSS JOIN d2 LEFT JOIN s3 ON s3.id = v.id)
-SELECT id, round(rank, 6) AS rank FROM r3
-""",
+        "pagerank_k3": _pagerank_unrolled_sql(3, EDGES_SQL),
+        "pagerank_k8": _pagerank_unrolled_sql(8, EDGES_SQL),
         "connected_components": f"""
 WITH RECURSIVE {edges_cte},
 {_UE_CTE},
