@@ -80,7 +80,9 @@ def connected_components(
     frontier = labels  # superstep 1: every vertex announces its label
 
     start_step, metrics = 1, []
+    part_metrics: list[dict] = []
     n_metrics_appended = 0
+    n_pmetrics_appended = 0
     if resume and ckpt is not None:
         latest = ckpt.latest()
         if latest is not None:
@@ -115,7 +117,22 @@ def connected_components(
                     ).alias("_changed"),
                 )
             )
-            changed = nxt.filter(F.col("_changed")).count()
+            # changed-count grouped by physical partition: same single
+            # action, plus the I5 per-partition rows
+            prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("changed"),
+            ).collect()
+            changed = sum(r["changed"] or 0 for r in prows)
+            part_metrics.extend(
+                {
+                    "run_id": run_id,
+                    "superstep": superstep,
+                    "partition_id": r["pid"],
+                    "rows": r["rows"],
+                }
+                for r in prows
+            )
             labels = nxt.select("id", "component")
             frontier = nxt.filter(F.col("_changed")).select(
                 "id", "component"
@@ -132,6 +149,8 @@ def connected_components(
                 ckpt.save(superstep, labels, frontier, meta={"changed": changed})
                 ckpt.append_metrics(spark, metrics[n_metrics_appended:])
                 n_metrics_appended = len(metrics)
+                ckpt.append_partition_metrics(spark, part_metrics[n_pmetrics_appended:])
+                n_pmetrics_appended = len(part_metrics)
             if changed == 0:
                 converged = True
                 break
@@ -155,6 +174,7 @@ def connected_components(
         converged=converged,
         metrics=metrics,
         run_id=run_id,
+        partition_metrics=part_metrics,
     )
 
 

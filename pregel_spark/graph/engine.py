@@ -147,11 +147,24 @@ class ComputeContext:
     """What the reference exposes via the vertex API, minus the vertex
     itself: superstep counter (``pregel/vertex.lua:124-126``), global
     aggregator values from the previous superstep
-    (``pregel/vertex.lua:127-129``), and the vertex count."""
+    (``pregel/vertex.lua:127-129``), the vertex count, and the user
+    blackboard (U6)."""
 
     superstep: int
     aggregators: dict[str, float]
     num_vertices: int
+    _user_bc: object = None
+
+    @property
+    def worker_context(self):
+        """The user-supplied per-worker blackboard (the reference's
+        ``worker_context``, ``pregel/worker.lua:378,401`` read from
+        compute via ``pregel/vertex.lua:211-213``) — broadcast ONCE to
+        executors and exposed read-only: BSP semantics forbid
+        compute-visible mutation outside the barrier, so unlike the
+        reference's mutable Lua table, writes here are not propagated
+        (use aggregators or mutations for cross-superstep state)."""
+        return self._user_bc.value if self._user_bc is not None else None
 
 
 @dataclass
@@ -161,6 +174,9 @@ class PregelResult:
     converged: bool
     metrics: list[dict] = field(default_factory=list)
     run_id: str = ""
+    #: per-(superstep, partition) rows — I5 parity with the reference's
+    #: per-worker superstep log (pregel/master.lua:60-63)
+    partition_metrics: list[dict] = field(default_factory=list)
 
 
 ComputeFn = Callable[[pd.DataFrame, ComputeContext], pd.DataFrame]
@@ -206,6 +222,7 @@ class Pregel:
         checkpoint_interval: int = 5,
         salt_buckets: int = 16,
         hot_key_threshold: int = 1000,
+        worker_context: object = None,
     ):
         self.spark = spark
         self.num_partitions = num_partitions or int(
@@ -222,6 +239,7 @@ class Pregel:
         self.checkpoint_interval = checkpoint_interval
         self.salt_buckets = salt_buckets
         self.hot_key_threshold = hot_key_threshold
+        self.worker_context = worker_context
 
     # -- message plane -------------------------------------------------
     def _aggregate_inbox(
@@ -347,7 +365,9 @@ class Pregel:
         n_vertices = state.count()
         msgs = initial_msgs
         metrics: list[dict] = []
+        part_metrics: list[dict] = []
         n_metrics_appended = 0  # high-water mark: each row is appended once
+        n_pmetrics_appended = 0
 
         if resume and self.ckpt is not None:
             latest = self.ckpt.latest()
@@ -359,6 +379,11 @@ class Pregel:
                 n_vertices = meta.get("num_vertices", n_vertices)
                 start_step = latest + 1
 
+        user_bc = (
+            spark.sparkContext.broadcast(self.worker_context)
+            if self.worker_context is not None
+            else None
+        )
         with bsp_loop_confs(spark):
             converged = False
             superstep = start_step - 1
@@ -381,7 +406,7 @@ class Pregel:
                         adj.withColumnRenamed("src", "id"), "id", "left_outer"
                     )
 
-                ctx = ComputeContext(superstep, dict(agg_values), n_vertices)
+                ctx = ComputeContext(superstep, dict(agg_values), n_vertices, user_bc)
                 out_cols = ["id", "value", "halted", "out"] + (
                     ["muts"] if with_mutations else []
                 )
@@ -425,7 +450,22 @@ class Pregel:
                 )
 
                 msg_cnt = msgs.count()
-                active_cnt = state.filter(~F.col("halted")).count()
+                # active count grouped by physical partition: same single
+                # action as a global count, plus the I5 per-partition rows
+                srows = state.groupBy(F.spark_partition_id().alias("pid")).agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.when(~F.col("halted"), 1).otherwise(0)).alias("active"),
+                ).collect()
+                active_cnt = sum(r["active"] or 0 for r in srows)
+                part_metrics.extend(
+                    {
+                        "run_id": self.run_id,
+                        "superstep": superstep,
+                        "partition_id": r["pid"],
+                        "rows": r["rows"],
+                    }
+                    for r in srows
+                )
                 if aggregators:
                     row = state.agg(
                         *[fn(state).alias(k) for k, (_, fn) in aggregators.items()]
@@ -458,6 +498,10 @@ class Pregel:
                     )
                     self.ckpt.append_metrics(spark, metrics[n_metrics_appended:])
                     n_metrics_appended = len(metrics)
+                    self.ckpt.append_partition_metrics(
+                        spark, part_metrics[n_pmetrics_appended:]
+                    )
+                    n_pmetrics_appended = len(part_metrics)
                 if msg_cnt == 0 and active_cnt == 0:
                     converged = True
                     break
@@ -468,4 +512,5 @@ class Pregel:
             converged=converged,
             metrics=metrics,
             run_id=self.run_id,
+            partition_metrics=part_metrics,
         )

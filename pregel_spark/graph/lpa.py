@@ -71,7 +71,9 @@ def label_propagation(
     )
 
     start_step, metrics = 1, []
+    part_metrics: list[dict] = []
     n_metrics_appended = 0
+    n_pmetrics_appended = 0
     if resume and ckpt is not None:
         latest = ckpt.latest()
         if latest is not None:
@@ -105,7 +107,20 @@ def label_propagation(
                     ).alias("_changed"),
                 )
                 )
-            changed = nxt.filter(F.col("_changed")).count()
+            prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("changed"),
+            ).collect()
+            changed = sum(r["changed"] or 0 for r in prows)
+            part_metrics.extend(
+                {
+                    "run_id": run_id,
+                    "superstep": superstep,
+                    "partition_id": r["pid"],
+                    "rows": r["rows"],
+                }
+                for r in prows
+            )
             labels = nxt.select("id", "label")
             metrics.append(
                 {
@@ -119,6 +134,8 @@ def label_propagation(
                 ckpt.save(superstep, labels, meta={"changed": changed})
                 ckpt.append_metrics(spark, metrics[n_metrics_appended:])
                 n_metrics_appended = len(metrics)
+                ckpt.append_partition_metrics(spark, part_metrics[n_pmetrics_appended:])
+                n_pmetrics_appended = len(part_metrics)
             if changed == 0:
                 converged = True
                 break
@@ -140,4 +157,5 @@ def label_propagation(
         converged=converged,
         metrics=metrics,
         run_id=run_id,
+        partition_metrics=part_metrics,
     )

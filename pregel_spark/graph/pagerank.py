@@ -194,7 +194,9 @@ def pagerank(
     stepm.advance(ranks, superstep=1, persisted=True)  # initial state is persisted
 
     start_step, metrics = 1, []
+    part_metrics: list[dict] = []
     n_metrics_appended = 0
+    n_pmetrics_appended = 0
     if resume and ckpt is not None:
         latest = ckpt.latest()
         if latest is not None:
@@ -241,12 +243,31 @@ def pagerank(
                 .withColumnRenamed("new_rank", "rank"),
                 superstep,
             )
-            row = nxt.agg(
+            # ONE action serves convergence + dangling aggregator + the
+            # per-partition I5 metrics: grouping the same aggregation by
+            # spark_partition_id yields one tiny row per physical state
+            # partition (the reference's per-worker superstep stats,
+            # pregel/master.lua:60-63) and the driver folds the global
+            # values from them.
+            prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
+                F.count(F.lit(1)).alias("rows"),
                 F.max("delta").alias("max_delta"),
                 F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("dm"),
-            ).collect()[0]
-            max_delta = row["max_delta"] or 0.0
-            dm = row["dm"] or 0.0
+            ).collect()
+            max_delta = max(
+                (r["max_delta"] for r in prows if r["max_delta"] is not None),
+                default=0.0,
+            )
+            dm = sum(r["dm"] or 0.0 for r in prows)
+            part_metrics.extend(
+                {
+                    "run_id": run_id,
+                    "superstep": superstep,
+                    "partition_id": r["pid"],
+                    "rows": r["rows"],
+                }
+                for r in prows
+            )
             stepm.advance(nxt, superstep)
             keep = ["id", "rank", "is_dangling"] + (
                 ["is_source"] if src_df is not None else []
@@ -274,6 +295,8 @@ def pagerank(
                 )
                 ckpt.append_metrics(spark, metrics[n_metrics_appended:])
                 n_metrics_appended = len(metrics)
+                ckpt.append_partition_metrics(spark, part_metrics[n_pmetrics_appended:])
+                n_pmetrics_appended = len(part_metrics)
             if done:
                 converged = True
                 break
@@ -295,4 +318,5 @@ def pagerank(
         converged=converged,
         metrics=metrics,
         run_id=run_id,
+        partition_metrics=part_metrics,
     )

@@ -125,3 +125,21 @@ class CheckpointManager:
 
     def read_metrics(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.run_dir, "metrics"))
+
+    def append_partition_metrics(self, spark: SparkSession, rows: list[dict]) -> None:
+        """Per-(superstep, partition) rows — the reference's per-worker
+        superstep log (``pregel/master.lua:60-63``, ``pregel/mpool.lua:
+        22-27``) as a queryable table: (run_id, superstep, partition_id,
+        rows, ...). Skew shows up as a wide rows-distribution within a
+        superstep."""
+        if not rows:
+            return
+        import pandas as pd
+
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.run_dir, "partition_metrics")
+        )
+
+    def read_partition_metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.run_dir, "partition_metrics"))

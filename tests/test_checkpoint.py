@@ -45,9 +45,18 @@ def test_pagerank_resume_identical(spark, tmp_path):
     assert set(g_full) == set(g_res)
     for v in g_full:
         assert np.isclose(g_full[v], g_res[v], atol=1e-14), v
-    # metrics table was persisted
+    # metrics table was persisted, one row per superstep (no dup appends)
     m = CheckpointManager(ck, "r1").read_metrics(spark)
     assert m.count() >= 2
+    assert m.count() == m.select("superstep").distinct().count()
+    # I5 per-partition metrics: every superstep's partition rows sum to N
+    pm = CheckpointManager(ck, "r1").read_partition_metrics(spark).collect()
+    n_vertices = len(_ranks(full.vertices))
+    by_step = {}
+    for r in pm:
+        by_step.setdefault(r["superstep"], 0)
+        by_step[r["superstep"]] += r["rows"]
+    assert by_step and all(v == n_vertices for v in by_step.values()), by_step
 
 
 def test_cc_resume_identical(spark, tmp_path):

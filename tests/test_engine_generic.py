@@ -127,3 +127,41 @@ def test_compute_driven_mutations_barrier_order(spark):
     assert got["z"] == 1001          # new vertex got a's superstep-2 msg
     assert got["b"] == 2             # edge a->b deleted before scatter
     assert got["a"] == 1
+
+
+def test_worker_context_lookup(spark):
+    """U6: an arbitrary user blackboard (here a bonus lookup table) is
+    broadcast once and readable from compute via ctx.worker_context
+    (reference pregel/worker.lua:378,401 / vertex.lua:211-213)."""
+    vdf = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0)], "id string, value long"
+    )
+
+    def compute(pdf: pd.DataFrame, ctx) -> pd.DataFrame:
+        bonus = ctx.worker_context["bonus"]
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "value": [bonus.get(i, -1) for i in pdf["id"]],
+                "halted": True,
+                "out": [[] for _ in range(len(pdf))],
+            }
+        )
+
+    res = Pregel(
+        spark, vdf, worker_context={"bonus": {"a": 10, "b": 20}}
+    ).run(
+        compute=compute,
+        value_type="long",
+        msg_type="long",
+        combiner="sum",
+        max_supersteps=2,
+        with_adjacency=False,
+    )
+    got = {r["id"]: r["value"] for r in res.vertices.collect()}
+    assert got == {"a": 10, "b": 20, "c": -1}
+    # per-partition I5 metrics surfaced on the result
+    assert res.partition_metrics
+    assert {m["superstep"] for m in res.partition_metrics} <= {1, 2}
+    assert sum(m["rows"] for m in res.partition_metrics
+               if m["superstep"] == 1) == 3
