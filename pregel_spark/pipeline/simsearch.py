@@ -91,13 +91,31 @@ def fit_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Plain k-means on a deterministic driver-side sample (the IVF
-    coarse quantizer). Sample via hash-ordered limit — reproducible."""
+    coarse quantizer).
+
+    Sampling: a seeded ``df.sample`` (Bernoulli, 4x oversampled) prunes
+    the corpus BEFORE the hash-ordered exact limit, so the TakeOrdered
+    pass touches ~4*sample rows instead of the full corpus (a pure
+    ``orderBy(hash).limit`` is already TakeOrdered — no global sort —
+    but still deserializes every vector at 100 TB). The hash-ordered
+    limit on top makes the final pick independent of partitioning; if
+    the Bernoulli pass undershoots, fall back to the full scan."""
+    n = corpus.count()
+    pruned = corpus.select(vec_col)
+    if n > sample * 4:
+        pruned = pruned.sample(fraction=min(1.0, (sample * 4) / n), seed=seed)
     rows = (
-        corpus.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        pruned.orderBy(F.xxhash64(F.col(vec_col).cast("string")))
         .limit(sample)
         .collect()
     )
+    if len(rows) < min(sample, n):  # Bernoulli undershoot: exact fallback
+        rows = (
+            corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+            .limit(sample)
+            .collect()
+        )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
