@@ -238,7 +238,11 @@ def q_dedup_minhash(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     from pregel_spark.pipeline import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
+    # max_hamming=7 -> 8 bands of 8 bits: the classic 64-bit SimHash
+    # near-dup operating point (wider radii admit ~1/3 of ALL pairs on
+    # this corpus — not dedup). Banding recall is 1 for ANY max_hamming
+    # (simhash_bands pigeonhole; property-tested at 3/10/16).
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=7)
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -380,8 +384,12 @@ def _minhash_sql(threshold=0.1, num_hashes=32, bands=8, max_k=3) -> str:
     equality candidates, true-Jaccard verify — mirrors
     dedup.minhash_lsh_pairs(hash_fn='md5') exactly."""
     r = num_hashes // bands
+    # four 32-bit hashes per md5 digest (8 hex chars each), matching
+    # dedup.minhash_signatures(hash_fn='md5')
     hash_cols = ",\n           ".join(
-        _H60.format(x=f"('{i}:' || sh)") + f" AS h{i}" for i in range(num_hashes)
+        f"(('0x' || substr(md5('{i // 4}:' || sh), {(i % 4) * 8 + 1}, 8))"
+        f"::UBIGINT::BIGINT) AS h{i}"
+        for i in range(num_hashes)
     )
     sig_cols = ", ".join(f"min(h{i}) AS m{i}" for i in range(num_hashes))
     band_selects = "\nUNION ALL\n".join(
@@ -707,7 +715,7 @@ j AS (SELECT a, b,
 SELECT a, b, jaccard FROM j WHERE jaccard >= 0.1
 """,
         "dedup_minhash": _minhash_sql(threshold=0.1),
-        "dedup_simhash": _simhash_sql(max_hamming=16),
+        "dedup_simhash": _simhash_sql(max_hamming=7),
         "winnow_fingerprints": WINNOW_FP_SQL,
         "winnow_near_dup": WINNOW_PAIRS_SQL,
         "dedup_embedding": """

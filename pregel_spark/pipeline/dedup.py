@@ -131,11 +131,17 @@ def minhash_signatures(
     explode also keeps rows narrow at 100 TB: partial aggregation
     collapses each map partition to one row per doc before the
     shuffle."""
-    from .hashing import seeded_hash60
-
     if hash_fn == "md5":
+        # one md5 digest yields FOUR independent 32-bit hashes (8 hex
+        # chars each) — 32-bit minhash values lose nothing (the min-hash
+        # estimator only needs a uniform hash; within-set collision odds
+        # are ~|shingles|²/2³³) and quarter the digest count vs one
+        # digest per hash
         def h(i):
-            return seeded_hash60(i, F.col("sh"))
+            d = F.md5(F.concat(F.lit(f"{i // 4}:"), F.col("sh")))
+            return F.conv(
+                F.substring(d, (i % 4) * 8 + 1, 8), 16, 10
+            ).cast("long")
     else:
         def h(i):
             return F.xxhash64(F.lit(i), F.col("sh"))
@@ -143,8 +149,15 @@ def minhash_signatures(
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles_col(k)).alias("sh")
     )
-    return sh.groupBy("id").agg(
-        F.array(*[F.min(h(i)) for i in range(num_hashes)]).alias("sig")
+    # pre-project the hash columns: aggregate-input expressions are not
+    # reliably subexpression-eliminated across the num_hashes min()s, so
+    # evaluating the md5 digests once in an explicit projection halves
+    # the digest count and leaves the aggregation over plain longs
+    hashed = sh.select(
+        "id", *[h(i).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return hashed.groupBy("id").agg(
+        F.array(*[F.min(f"_h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -423,22 +436,20 @@ def simhash_pairs(
             )
         ).alias("cb"),
     ).select("id", "fp", "cb.chunk", "cb.key")
-    cand = (
+    # Hamming-filter BEFORE dedup: bit_count is a register op evaluated
+    # on the (possibly duplicated) join output, while distinct shuffles
+    # every surviving row — filtering first cuts the distinct's input
+    # from O(candidates) to O(result) (narrow bands at high max_hamming
+    # make candidates >> results).
+    return (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk", "key"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("a"),
             F.col("y.id").alias("b"),
-            F.col("x.fp").alias("fpa"),
-            F.col("y.fp").alias("fpb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("fpa").bitwiseXOR(F.col("fpb")))
+            F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+        .distinct()
     )
