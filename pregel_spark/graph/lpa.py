@@ -36,6 +36,7 @@ def label_propagation(
     checkpoint_interval: int = 5,
     resume: bool = False,
     numeric_ids: bool = True,
+    argmax: str = "struct",
 ) -> PregelResult:
     """Returns (id, label) after synchronous LPA.
 
@@ -91,11 +92,25 @@ def label_propagation(
                 F.col("dst").alias("id"), F.col("label").alias("cand")
             )
             counts = msgs.groupBy("id", "cand").agg(F.count(F.lit(1)).alias("n"))
-            best = (
-                counts.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select("id", F.col("cand").alias("new_label"))
-            )
+            if vmap is not None and argmax == "struct":
+                # numeric labels: the deterministic argmax (n desc, cand
+                # asc) is max(struct(n, -cand)) — one aggregation instead
+                # of a row_number window (A/B-able; see BASELINE.md)
+                best = (
+                    counts.groupBy("id")
+                    .agg(
+                        F.max(
+                            F.struct(F.col("n"), (-F.col("cand")).alias("nc"))
+                        ).alias("m")
+                    )
+                    .select("id", (-F.col("m.nc")).alias("new_label"))
+                )
+            else:
+                best = (
+                    counts.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select("id", F.col("cand").alias("new_label"))
+                )
             nxt = materialize(
                 labels.join(best, "id", "left_outer")
                 .select(

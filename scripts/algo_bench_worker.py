@@ -1,0 +1,87 @@
+"""Worker for the scaling protocol, generalized over algorithms: run
+one algorithm at a given parallelism in a FRESH JVM, print one JSON
+line. The BASELINE.md protocol (taskset pinning, fixed work, shared
+partition count, ample heap) is owned by scripts/bench_scaling.py.
+
+Usage: python scripts/algo_bench_worker.py <algo> <cpus> <sf_dir>
+       algo in {pagerank, cc_star, lpa}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pregel_spark.session import get_spark
+
+
+def main():
+    algo = sys.argv[1]
+    cpus = int(sys.argv[2])
+    sf_dir = sys.argv[3]
+    import __spark_entry__ as entrymod
+    from pregel_spark.graph import (
+        connected_components_star,
+        label_propagation,
+        pagerank,
+    )
+
+    # partitions sized by data, not cores: a 100M-row shuffle over 8
+    # partitions spills; both levels get the same partition count so
+    # per-partition work is identical and only parallelism varies
+    spark = get_spark(
+        f"{algo}-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if sf_dir.endswith(".edges.parquet") or os.path.exists(
+        os.path.join(sf_dir, "_SUCCESS")
+    ):
+        edges = spark.read.parquet(sf_dir)
+    else:
+        edges = entrymod._edges(spark, sf_dir)
+    n_edges = edges.count()
+    tol = float(os.environ.get("SCALING_TOL", "1e-6"))
+    max_iter = int(os.environ.get("SCALING_MAX_ITER", "200"))
+    t0 = time.monotonic()
+    if algo == "pagerank":
+        res = pagerank(spark, edges, tol=tol, max_iter=max_iter, pre_deduped=True)
+        res.vertices.write.format("noop").mode("overwrite").save()
+    elif algo == "cc_star":
+        # deterministic fixed work at both levels: runs to its fixpoint
+        # (round count is data-determined, identical across levels)
+        res = connected_components_star(spark, edges, max_rounds=max_iter)
+        res.vertices.write.format("noop").mode("overwrite").save()
+    elif algo == "lpa":
+        res = label_propagation(spark, edges, max_iter=max_iter)
+        res.vertices.write.format("noop").mode("overwrite").save()
+    else:
+        raise SystemExit(f"unknown algo {algo}")
+    wall = time.monotonic() - t0
+    loop_sec = sum(m["wall_ms"] for m in res.metrics) / 1000.0
+    out = {
+        "algo": algo,
+        "cpus": cpus,
+        "sf_dir": sf_dir,
+        "n_edges": n_edges,
+        "supersteps": res.supersteps,
+        "converged": res.converged,
+        "wall_sec": round(wall, 3),
+        "setup_sec": round(wall - loop_sec, 3),
+        "loop_sec": round(loop_sec, 3),
+        "edges_per_sec": round(n_edges * res.supersteps / loop_sec, 1),
+        "edges_per_sec_incl_setup": round(n_edges * res.supersteps / wall, 1),
+        "supersteps_per_hour": round(res.supersteps / loop_sec * 3600, 1),
+        "step_walls_ms": [round(m["wall_ms"], 1) for m in res.metrics],
+    }
+    print("BENCHJSON:" + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -3,7 +3,12 @@ input, local[8] (N) vs local[32] (4N) in fresh JVMs; efficiency =
 (T_32 / T_8) / 4 where T is edges-processed/sec. Writes
 BENCH_SCALING.json and prints the markdown table rows for BASELINE.md.
 
-Usage: python scripts/bench_scaling.py [sf_dir] [n_low] [n_high]
+Usage: python scripts/bench_scaling.py [--algo=pagerank|cc_star|lpa]
+           [--edges=N | sf_dir] [n_low] [n_high]
+
+Non-pagerank algorithms run fixed deterministic work at both levels
+(cc_star to its data-determined fixpoint, lpa a fixed iteration count)
+and write BENCH_SCALING_<algo>.json.
 """
 
 from __future__ import annotations
@@ -16,13 +21,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, sf_dir: str) -> dict:
+def run_level(cpus: int, sf_dir: str, algo: str = "pagerank") -> dict:
     """Fresh JVM pinned to exactly `cpus` host CPUs via taskset —
     without pinning, a local[8] JVM still spreads GC/shuffle-IO/codegen
     threads over all 32 host cores, inflating the low-core baseline and
     corrupting the efficiency ratio."""
-    cmd = [sys.executable, os.path.join(REPO, "scripts", "pagerank_bench_worker.py"),
-           str(cpus), sf_dir]
+    if algo == "pagerank":
+        cmd = [sys.executable,
+               os.path.join(REPO, "scripts", "pagerank_bench_worker.py"),
+               str(cpus), sf_dir]
+    else:
+        cmd = [sys.executable,
+               os.path.join(REPO, "scripts", "algo_bench_worker.py"),
+               algo, str(cpus), sf_dir]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
     env = dict(os.environ)
@@ -59,6 +70,10 @@ def synth_input(n_edges: int) -> str:
 
 def main():
     args = sys.argv[1:]
+    algo = "pagerank"
+    if args and args[0].startswith("--algo="):
+        algo = args[0].split("=")[1]
+        args = args[1:]
     if args and args[0].startswith("--edges="):
         sf_dir = synth_input(int(args[0].split("=")[1]))
         args = args[1:]
@@ -69,8 +84,8 @@ def main():
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_low = int(args[0]) if len(args) > 0 else 8
     n_high = int(args[1]) if len(args) > 1 else 32
-    low = run_level(n_low, sf_dir)
-    high = run_level(n_high, sf_dir)
+    low = run_level(n_low, sf_dir, algo)
+    high = run_level(n_high, sf_dir, algo)
     ratio = (n_high / n_low)
     # efficiency on SUPERSTEP throughput (the north metric is
     # supersteps/hour and edges/sec of the iteration); one-time ingest
@@ -81,6 +96,7 @@ def main():
         high["edges_per_sec_incl_setup"] / low["edges_per_sec_incl_setup"]
     ) / ratio
     result = {
+        "algo": algo,
         "sf_dir": sf_dir,
         "low": low,
         "high": high,
@@ -88,11 +104,15 @@ def main():
         "scaling_efficiency_incl_setup": round(eff_total, 4),
         "pass_gate_0.8": eff >= 0.8,
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    out_name = (
+        "BENCH_SCALING.json" if algo == "pagerank"
+        else f"BENCH_SCALING_{algo}.json"
+    )
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(result, f, indent=2)
     for r in (low, high):
         print(
-            f"| pagerank-bench | local[{r['cpus']}] | {r['n_edges']} | "
+            f"| {algo}-bench | local[{r['cpus']}] | {r['n_edges']} | "
             f"{r['supersteps']} | {r['wall_sec']} | {r['edges_per_sec']} | "
             f"{r['supersteps_per_hour']} | "
             f"{'—' if r is low else round(eff, 3)} |"
