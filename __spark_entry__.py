@@ -17,12 +17,15 @@ Conventions for oracle parity:
   -> DuckDB casts to INTEGER; ``count(*)`` is int64 on both);
 - every computed column is aliased identically on both sides.
 
-Iterative-to-convergence algorithms (full PageRank, CC, LPA, SimHash/
-MinHash whose hash seeds are engine-specific, IVF) are either checked
-via fixed-k unrolled SQL (pagerank_k3, lpa_k2), recursive CTEs
-(connected components, maxprop), or left rows-only where DuckDB can't
-express the kernel (minhash/simhash/ivf) — those have exact
-pure-Python oracles in tests/ instead.
+Iterative-to-convergence algorithms are checked via fixed-k unrolled
+SQL (pagerank_k3/k8, lpa_k2) or recursive CTEs (connected components,
+maxprop, dedup_clusters). Hash-based dedup operators use the
+engine-portable md5-derived hash family (pipeline/hashing.py), so
+MinHash signatures, SimHash fingerprints (FNV-1a unrolled to 64 vote
+columns) and winnowing fingerprints are all value-exact against DuckDB.
+Only pagerank_full (iterate-to-convergence) and simsearch_ivf
+(approximate by design) are rows-only — both have exact NumPy oracles
+in tests/.
 """
 
 from __future__ import annotations
@@ -233,6 +236,14 @@ def q_dedup_minhash(spark, sf_dir):
     from pregel_spark.pipeline import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.1)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    from pregel_spark.pipeline import near_dup_clusters
+
+    # pipeline x graph composition: inverted-index near-dup pairs ->
+    # alternating-star connected components -> keep-min-per-cluster
+    return near_dup_clusters(spark, _docs(spark, sf_dir), threshold=0.1)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -575,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "dedup_simhash": q_dedup_simhash,
         "fingerprint": q_fingerprint,
@@ -715,6 +727,35 @@ j AS (SELECT a, b,
 SELECT a, b, jaccard FROM j WHERE jaccard >= 0.1
 """,
         "dedup_minhash": _minhash_sql(threshold=0.1),
+        "dedup_clusters": r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0),
+sh0 AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS shs
+    FROM toks WHERE len(w) >= 3),
+sh AS (SELECT doc_id AS id, unnest(shs) AS sh FROM sh0),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+dfreq AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+rare AS (SELECT s.id, s.sh FROM sh s JOIN dfreq ON s.sh = dfreq.sh WHERE dfreq.c <= 100),
+inter AS (SELECT x.id AS a, y.id AS b, count(*) AS i
+          FROM rare x JOIN rare y ON x.sh = y.sh AND x.id < y.id
+          GROUP BY x.id, y.id),
+p AS (SELECT a, b FROM inter
+      JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+      WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.1),
+ue AS (SELECT a AS s, b AS d FROM p UNION SELECT b, a FROM p),
+reach(id, lbl) AS (
+    SELECT s, s FROM ue
+    UNION
+    SELECT ue.d, r.lbl FROM reach r JOIN ue ON ue.s = r.id),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       (d.doc_id = COALESCE(c.cluster_id, d.doc_id)) AS keep
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+""",
         "dedup_simhash": _simhash_sql(max_hamming=7),
         "winnow_fingerprints": WINNOW_FP_SQL,
         "winnow_near_dup": WINNOW_PAIRS_SQL,

@@ -57,21 +57,22 @@ def main():
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.monotonic()
-        df = qs[name](spark, SF_DIR)
-        force(df)
-        timings[name] = round(time.monotonic() - t0, 3)
-    # north metric: PageRank edges/sec + supersteps/hour at this SF;
-    # loop-only throughput from the engine's own per-superstep metrics
+    # the north-metric PageRank run IS the pagerank_full headline entry
+    # (running it twice doubled the benchmark's largest line item)
     from pregel_spark.graph import pagerank
 
-    edges = entrymod._edges(spark, SF_DIR)
-    n_edges = edges.count()
-    t0 = time.monotonic()
-    res = pagerank(spark, edges, tol=1e-6, max_iter=100, pre_deduped=True)
-    res.vertices.write.format("noop").mode("overwrite").save()
-    wall = time.monotonic() - t0
+    res = None
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        if name == "pagerank_full":
+            edges = entrymod._edges(spark, SF_DIR)
+            res = pagerank(spark, edges, tol=1e-6, max_iter=100, pre_deduped=True)
+            force(res.vertices)
+            wall = time.monotonic() - t0
+        else:
+            force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+    n_edges = entrymod._edges(spark, SF_DIR).count()
     loop_sec = sum(m["wall_ms"] for m in res.metrics) / 1000.0 or wall
     extra["pagerank_supersteps"] = res.supersteps
     extra["pagerank_wall_sec"] = round(wall, 3)

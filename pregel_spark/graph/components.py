@@ -39,6 +39,7 @@ def connected_components(
     checkpoint_interval: int = 5,
     resume: bool = False,
     numeric_ids: bool = True,
+    partition_metrics: bool | None = None,
 ) -> PregelResult:
     """Returns (id, component) — component = lexicographic min vertex id
     reachable treating edges as undirected.
@@ -52,6 +53,8 @@ def connected_components(
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
+    if partition_metrics is None:
+        partition_metrics = ckpt is not None  # see pagerank.py rationale
 
     ue = undirect(edges).select("src", "dst")
     vmap = None
@@ -118,21 +121,24 @@ def connected_components(
                 )
             )
             # changed-count grouped by physical partition: same single
-            # action, plus the I5 per-partition rows
-            prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("changed"),
-            ).collect()
-            changed = sum(r["changed"] or 0 for r in prows)
-            part_metrics.extend(
-                {
-                    "run_id": run_id,
-                    "superstep": superstep,
-                    "partition_id": r["pid"],
-                    "rows": r["rows"],
-                }
-                for r in prows
-            )
+            # action, plus the I5 per-partition rows (checkpointed runs)
+            if partition_metrics:
+                prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("changed"),
+                ).collect()
+                changed = sum(r["changed"] or 0 for r in prows)
+                part_metrics.extend(
+                    {
+                        "run_id": run_id,
+                        "superstep": superstep,
+                        "partition_id": r["pid"],
+                        "rows": r["rows"],
+                    }
+                    for r in prows
+                )
+            else:
+                changed = nxt.filter(F.col("_changed")).count()
             labels = nxt.select("id", "component")
             frontier = nxt.filter(F.col("_changed")).select(
                 "id", "component"

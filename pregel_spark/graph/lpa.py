@@ -37,6 +37,7 @@ def label_propagation(
     resume: bool = False,
     numeric_ids: bool = True,
     argmax: str = "struct",
+    partition_metrics: bool | None = None,
 ) -> PregelResult:
     """Returns (id, label) after synchronous LPA.
 
@@ -47,6 +48,8 @@ def label_propagation(
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
+    if partition_metrics is None:
+        partition_metrics = ckpt is not None  # see pagerank.py rationale
 
     ue = undirect(edges).select("src", "dst")
     vmap = None
@@ -122,20 +125,23 @@ def label_propagation(
                     ).alias("_changed"),
                 )
                 )
-            prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("changed"),
-            ).collect()
-            changed = sum(r["changed"] or 0 for r in prows)
-            part_metrics.extend(
-                {
-                    "run_id": run_id,
-                    "superstep": superstep,
-                    "partition_id": r["pid"],
-                    "rows": r["rows"],
-                }
-                for r in prows
-            )
+            if partition_metrics:
+                prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("changed"),
+                ).collect()
+                changed = sum(r["changed"] or 0 for r in prows)
+                part_metrics.extend(
+                    {
+                        "run_id": run_id,
+                        "superstep": superstep,
+                        "partition_id": r["pid"],
+                        "rows": r["rows"],
+                    }
+                    for r in prows
+                )
+            else:
+                changed = nxt.filter(F.col("_changed")).count()
             labels = nxt.select("id", "label")
             metrics.append(
                 {

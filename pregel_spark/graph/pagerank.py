@@ -62,6 +62,7 @@ def pagerank(
     pre_deduped: bool = False,
     weighted: bool = False,
     sources: list[str] | None = None,
+    partition_metrics: bool | None = None,
 ) -> PregelResult:
     """Run PageRank to ``tol`` convergence (or exactly ``max_iter``
     supersteps when ``tol=0``). Returns ranks as (id, rank).
@@ -85,6 +86,12 @@ def pagerank(
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
+    if partition_metrics is None:
+        # per-partition I5 stats ride the convergence action whenever the
+        # run is durable (checkpointed) — that is where skew diagnosis
+        # lives; bare benchmark loops keep the minimal flat aggregation
+        # (the grouped variant costs ~0.2-0.4s/superstep at 32 cores)
+        partition_metrics = ckpt is not None
 
     # static structures: out-degree-normalized link shares, dangling flag.
     # Multi-edges collapse (standard link-graph semantics; weighted mode
@@ -243,31 +250,41 @@ def pagerank(
                 .withColumnRenamed("new_rank", "rank"),
                 superstep,
             )
-            # ONE action serves convergence + dangling aggregator + the
-            # per-partition I5 metrics: grouping the same aggregation by
-            # spark_partition_id yields one tiny row per physical state
-            # partition (the reference's per-worker superstep stats,
-            # pregel/master.lua:60-63) and the driver folds the global
-            # values from them.
-            prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.max("delta").alias("max_delta"),
-                F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("dm"),
-            ).collect()
-            max_delta = max(
-                (r["max_delta"] for r in prows if r["max_delta"] is not None),
-                default=0.0,
-            )
-            dm = sum(r["dm"] or 0.0 for r in prows)
-            part_metrics.extend(
-                {
-                    "run_id": run_id,
-                    "superstep": superstep,
-                    "partition_id": r["pid"],
-                    "rows": r["rows"],
-                }
-                for r in prows
-            )
+            # ONE action serves convergence + dangling aggregator + (when
+            # partition_metrics) the per-partition I5 stats: grouping the
+            # same aggregation by spark_partition_id yields one tiny row
+            # per physical state partition (the reference's per-worker
+            # superstep stats, pregel/master.lua:60-63) and the driver
+            # folds the global values from them. ``partition_metrics=
+            # False`` keeps the flat two-stage agg for minimum fixed
+            # per-superstep cost.
+            if partition_metrics:
+                prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.max("delta").alias("max_delta"),
+                    F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("dm"),
+                ).collect()
+                max_delta = max(
+                    (r["max_delta"] for r in prows if r["max_delta"] is not None),
+                    default=0.0,
+                )
+                dm = sum(r["dm"] or 0.0 for r in prows)
+                part_metrics.extend(
+                    {
+                        "run_id": run_id,
+                        "superstep": superstep,
+                        "partition_id": r["pid"],
+                        "rows": r["rows"],
+                    }
+                    for r in prows
+                )
+            else:
+                row = nxt.agg(
+                    F.max("delta").alias("max_delta"),
+                    F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("dm"),
+                ).collect()[0]
+                max_delta = row["max_delta"] or 0.0
+                dm = row["dm"] or 0.0
             stepm.advance(nxt, superstep)
             keep = ["id", "rank", "is_dangling"] + (
                 ["is_source"] if src_df is not None else []

@@ -19,6 +19,7 @@ from .dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_pairs,
@@ -41,6 +42,7 @@ __all__ = [
     "winnow_near_dup_pairs",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "near_dup_clusters",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "simhash_pairs",

@@ -344,6 +344,52 @@ def embedding_near_dup_pairs(
     )
 
 
+# -------------------------- near-dup clusters ------------------------
+
+def near_dup_clusters(
+    spark,
+    docs: DataFrame,
+    threshold: float = 0.1,
+    k: int = 3,
+    id_col: str = "doc_id",
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Transitive near-duplicate clusters: n-gram-Jaccard pairs are
+    edges, clusters are their connected components, and the canonical
+    keeper of each cluster is its minimum doc id (the standard
+    keep-one-per-cluster dedup policy — pairs alone under-delete when
+    A~B and B~C but A!~C). Returns (doc_id, cluster_id, keep) covering
+    EVERY document (singletons form their own cluster).
+
+    Composition showcase: the pair generation is the pipeline's
+    inverted-index join and the closure is the graph engine's O(log n)
+    alternating-star connected components — numeric doc ids ride
+    through zero-padded strings so the engine's lexicographic min-label
+    equals the numeric min.
+    """
+    from ..graph import connected_components_star
+
+    pairs = ngram_jaccard_pairs(docs, threshold, k, id_col, max_shingle_df)
+    edges = pairs.select(
+        F.format_string("%012d", F.col("a")).alias("src"),
+        F.format_string("%012d", F.col("b")).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    labels = connected_components_star(spark, edges).vertices.select(
+        F.col("id").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+    return (
+        docs.select(id_col)
+        .join(labels, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 # ------------------------------ SimHash ------------------------------
 
 def _simhash_batch(it):

@@ -58,6 +58,13 @@ def get_spark(
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # SPARK_GRAFT_LOCAL_DIR: where shuffle/spill blocks land. The
+    # single-host scaling proxy can point this at tmpfs (/dev/shm) to
+    # model a cluster where every added executor brings its own
+    # disk/network bandwidth — on one box all cores share one block
+    # device, which caps shuffle-bound loops regardless of cores.
+    if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        b = b.config("spark.local.dir", os.environ["SPARK_GRAFT_LOCAL_DIR"])
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

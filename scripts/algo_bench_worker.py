@@ -32,11 +32,15 @@ def main():
 
     # partitions sized by data, not cores: a 100M-row shuffle over 8
     # partitions spills; both levels get the same partition count so
-    # per-partition work is identical and only parallelism varies
+    # per-partition work is identical and only parallelism varies.
+    # SCALING_PARTITIONS overrides for memory-heavier loops (LPA's
+    # per-(vertex,label) count table needs smaller per-task hash maps
+    # than PageRank's at the same edge count).
+    n_part = int(os.environ.get("SCALING_PARTITIONS", str(max(cpus, 32))))
     spark = get_spark(
         f"{algo}-scaling-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 32),
+        shuffle_partitions=n_part,
     )
     spark.sparkContext.setLogLevel("ERROR")
     if sf_dir.endswith(".edges.parquet") or os.path.exists(

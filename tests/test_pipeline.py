@@ -355,3 +355,34 @@ def test_winnow_near_dup_pairs(spark):
     assert got[(0, 1)] == 1.0            # identical docs: full overlap
     assert (0, 2) in got and (1, 2) in got   # shifted content found
     assert all(3 not in p for p in got)      # unrelated doc excluded
+
+
+def test_near_dup_clusters_transitive(spark, docs):
+    """Clusters are the transitive closure of the pair relation (A~B,
+    B~C => same cluster even if A!~C), keeper = min doc id; singletons
+    keep themselves. Python union-find over the same pair set is the
+    oracle."""
+    from pregel_spark.pipeline import near_dup_clusters, ngram_jaccard_pairs
+
+    thr = 0.3
+    pairs = [(r["a"], r["b"]) for r in
+             ngram_jaccard_pairs(docs, threshold=thr, k=3).collect()]
+    parent = {i: i for i, _, _ in DOCS}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i, _, _ in DOCS}
+
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+           near_dup_clusters(spark, docs, threshold=thr).collect()}
+    assert {d: c for d, (c, _) in got.items()} == want
+    for d, (c, keep) in got.items():
+        assert keep == (d == c)
