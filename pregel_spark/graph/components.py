@@ -184,12 +184,18 @@ def connected_components(
     )
 
 
-def _star_round(e: DataFrame, large: bool) -> DataFrame:
+def _star_round(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
     """One large-star / small-star step (Kiveris et al., 'Connected
     Components in MapReduce and Beyond'): view the current edge set
     symmetrically, find each node's minimum over {self} ∪ neighbors,
     and re-point the > (large) or <= (small) neighbors at that minimum.
-    Pure groupBy + join; every op has map-side partial aggregation."""
+    Pure groupBy + join; every op has map-side partial aggregation.
+
+    ``dedup=False`` skips the output ``distinct()`` — semantically safe
+    (the min aggregation is multiset-invariant and each input row emits
+    at most one output row, so the multiset never grows) and drops one
+    O(E) exchange; the caller dedups once per large+small round instead
+    of twice."""
     sym = e.select("u", "v").unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -204,7 +210,8 @@ def _star_round(e: DataFrame, large: bool) -> DataFrame:
     )
     if not large:
         out = out.unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    out = out.filter(F.col("u") != F.col("v"))
+    return out.distinct() if dedup else out
 
 
 def connected_components_star(
@@ -245,7 +252,7 @@ def connected_components_star(
         for rounds in range(1, max_rounds + 1):
             t0 = time.monotonic()
             e = materialize(
-                _star_round(_star_round(e, large=True), large=False)
+                _star_round(_star_round(e, large=True, dedup=False), large=False)
                 .repartition(n_part, "u")
             )
             row = e.agg(
