@@ -21,8 +21,9 @@ Iterative-to-convergence algorithms are checked via fixed-k unrolled
 SQL (pagerank_k3/k8, lpa_k2) or recursive CTEs (connected components,
 maxprop, dedup_clusters). Hash-based dedup operators use the
 engine-portable md5-derived hash family (pipeline/hashing.py), so
-MinHash signatures, SimHash fingerprints (FNV-1a unrolled to 64 vote
-columns) and winnowing fingerprints are all value-exact against DuckDB.
+MinHash signatures, SimHash fingerprints (md5-quarter token hashes,
+64 vote columns) and winnowing fingerprints are all value-exact
+against DuckDB.
 Only pagerank_full (iterate-to-convergence) and simsearch_ivf
 (approximate by design) are rows-only — both have exact NumPy oracles
 in tests/.
@@ -445,13 +446,15 @@ SELECT a, b, jaccard FROM j WHERE jaccard >= {threshold}
 
 
 def _simhash_sql(max_hamming=16) -> str:
-    """Unrolled SimHash: FNV-1a 64 per token (the same function as
-    dedup.hash64), per-bit majority votes, exact all-pairs Hamming
-    filter. Candidates need no banding in the oracle — the pair SET is
-    what is compared, and banding recall is 1 by construction
-    (dedup.simhash_bands), so exact all-pairs equals the Spark result."""
+    """Unrolled SimHash: the same two 32-bit md5-quarter token hashes
+    as dedup.simhash_fingerprints (portable: DuckDB md5 of VARCHAR
+    hashes UTF-8 bytes, identical to Spark — non-ASCII corpora match),
+    per-bit majority votes, exact all-pairs Hamming filter. Candidates
+    need no banding in the oracle — the pair SET is what is compared,
+    and banding recall is 1 by construction (dedup.simhash_bands), so
+    exact all-pairs equals the Spark result."""
     votes = ",\n           ".join(
-        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        f"sum(CASE WHEN (h{b // 32} >> {b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(64)
     )
     fp_sum = " + ".join(
@@ -467,12 +470,8 @@ WITH t AS (
 tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
 h AS (
     SELECT doc_id,
-           list_reduce(
-               list_prepend(14695981039346656037::HUGEINT,
-                   [ascii(tk[i])::HUGEINT for i in range(1, length(tk) + 1)]),
-               (a, c) -> ((xor(a::UBIGINT, c::UBIGINT)::HUGEINT * 1099511628211)
-                          % 18446744073709551616)::HUGEINT
-           )::UBIGINT AS hv
+           ('0x' || substr(md5(tk), 1, 8))::UBIGINT::BIGINT AS h0,
+           ('0x' || substr(md5(tk), 9, 8))::UBIGINT::BIGINT AS h1
     FROM tok),
 votes AS (
     SELECT doc_id,

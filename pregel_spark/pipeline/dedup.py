@@ -10,18 +10,17 @@ Scale design:
 - *MinHash+LSH*: signatures fully native (``transform`` + ``xxhash64``
   + ``array_min`` inside codegen), banded bucketing joins only
   same-bucket docs; verification re-checks true shingle Jaccard.
-- *SimHash*: 64-bit fingerprints via an Arrow-batched pandas UDF
-  (numpy bit ops — per-bit accumulation is not expressible as native
-  columns); candidate pairs by 16-bit-chunk pigeonhole banding, then
-  exact Hamming verify via native ``bit_count(a ^ b)``.
+- *SimHash*: 64-bit fingerprints fully native (explode tokens, two
+  32-bit md5-quarter hashes per token in codegen, 64 per-bit vote
+  ``sum()`` columns in ONE aggregation, shiftleft/bitwiseOR packing —
+  zero Python in the row path); candidate pairs by pigeonhole
+  bit-banding, then exact Hamming verify via native
+  ``bit_count(a ^ b)``.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import LongType
 
 
 # ------------------------------ shared -------------------------------
@@ -392,45 +391,55 @@ def near_dup_clusters(
 
 # ------------------------------ SimHash ------------------------------
 
-def _simhash_batch(it):
-    for pdf in it:
-        out_ids, out_fp = [], []
-        for doc_id, text in zip(pdf["id"], pdf["text"]):
-            toks = str(text).split() if text is not None else []
-            if not toks:
-                out_ids.append(doc_id)
-                out_fp.append(0)
-                continue
-            hs = np.array(
-                [np.uint64(hash64(t)) for t in toks], dtype=np.uint64
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    fp |= np.uint64(1) << np.uint64(b)
-            out_ids.append(doc_id)
-            out_fp.append(np.int64(fp).item())
-        yield pd.DataFrame({"id": out_ids, "fp": out_fp})
-
-
-def hash64(s: str) -> int:
-    """Deterministic 64-bit FNV-1a (stable across processes, unlike
-    Python's salted hash())."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, fp long) via Arrow-batched mapInPandas."""
-    inp = docs.select(F.col(id_col).alias("id"), "text")
-    return inp.mapInPandas(_simhash_batch, schema="id long, fp long")
+    """(id, fp long) — 64-bit SimHash, 100% native (no Python row path).
+
+    Token hash = two 32-bit md5 quarters (bits 0-31 from hex chars 1-8,
+    bits 32-63 from chars 9-16), same engine-portable scheme as the
+    MinHash family (``pipeline/hashing.py``): DuckDB/Postgres reproduce
+    every fingerprint bit-exactly via
+    ``('0x' || substr(md5(tk), 1, 8))::UBIGINT``, and md5-of-VARCHAR
+    hashes UTF-8 bytes on both engines, so non-ASCII corpora match too.
+
+    Shape: explode tokens -> pre-project the two quarter hashes (one
+    md5 per token) -> ONE aggregation of 64 per-bit vote columns
+    ``sum(2*bit - 1)`` (map-side partial agg collapses each partition
+    to one row per doc before the shuffle) -> pack sign bits with
+    ``shiftleft``/``bitwiseOR``. Tie votes (sum == 0) pack bit 0.
+    Empty/NULL docs fingerprint to 0 via the left join.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col("text")).alias("tk")
+    )
+    d = F.md5("tk")
+    hashed = toks.select(
+        "id",
+        F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("h0"),
+        F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("h1"),
+    )
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"h{b // 32}"), b % 32)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    fp = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    fps = votes.select("id", fp.alias("fp"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(fps, "id", "left_outer")
+        .select("id", F.coalesce("fp", F.lit(0).cast("long")).alias("fp"))
+    )
 
 
 def simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
@@ -474,7 +483,10 @@ def simhash_pairs(
                     F.struct(
                         F.lit(c).alias("chunk"),
                         F.shiftright("fp", shift)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        # width 64 (max_hamming=0): mask is all-ones = -1L
+                        .bitwiseAND(
+                            F.lit((1 << width) - 1 if width < 64 else -1)
+                        )
                         .alias("key"),
                     )
                     for c, (shift, width) in enumerate(simhash_bands(max_hamming))

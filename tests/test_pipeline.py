@@ -21,7 +21,6 @@ from pregel_spark.pipeline import (
     simhash_pairs,
     token_stats,
 )
-from pregel_spark.pipeline.dedup import hash64
 from pregel_spark.pipeline.multimodal import FEATURE_DIM, _fake_decode, make_fake_media
 
 DOCS = [
@@ -100,12 +99,14 @@ def test_simhash(docs):
     fps = {r["id"]: r["fp"] for r in simhash_fingerprints(docs).collect()}
 
     def oracle_fp(text):
+        # the portable md5-quarter token hash (dedup.simhash_fingerprints)
         toks = text.split()
         if not toks:
             return 0
         votes = [0] * 64
         for t in toks:
-            h = hash64(t)
+            d = hashlib.md5(t.encode("utf-8")).hexdigest()
+            h = int(d[0:8], 16) | (int(d[8:16], 16) << 32)
             for b in range(64):
                 votes[b] += 1 if (h >> b) & 1 else -1
         fp = 0
@@ -122,6 +123,35 @@ def test_simhash(docs):
     for (a, b), h in pairs.items():
         want = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
         assert h == want
+
+
+def test_simhash_hamming_zero(docs):
+    # max_hamming=0 => one 64-bit band; its all-ones mask must not
+    # overflow a long (regression: (1<<64)-1 NumberFormatException)
+    pairs = {(r["a"], r["b"]) for r in
+             simhash_pairs(docs, max_hamming=0).collect()}
+    assert (0, 1) in pairs  # identical docs collide exactly
+
+
+def test_simhash_unicode(spark):
+    # md5-of-string hashes UTF-8 bytes on every engine — non-ASCII
+    # tokens fingerprint identically (the old FNV oracle was ASCII-only)
+    rows = [(0, "héllo wörld ünïcode — über naïve"), (1, "日本語 テキスト 処理")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["id"]: r["fp"] for r in simhash_fingerprints(df).collect()}
+
+    def oracle_fp(text):
+        votes = [0] * 64
+        for t in text.split():
+            d = hashlib.md5(t.encode("utf-8")).hexdigest()
+            h = int(d[0:8], 16) | (int(d[8:16], 16) << 32)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        fp = sum(1 << b for b in range(64) if votes[b] > 0)
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    for i, t in rows:
+        assert fps[i] == oracle_fp(t), i
 
 
 def _cosine(u, v):
