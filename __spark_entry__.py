@@ -830,14 +830,19 @@ SELECT doc_id,
             ELSE 'fr' END AS lang_pred
 FROM v
 """,
+        # NOTE: ascii(text[i]) / length(text) iterate CHARACTERS while
+        # the Spark side strides UTF-8 BYTES (encode(text,'UTF-8')) —
+        # they agree only on ASCII corpora (true of this testdata; a
+        # byte-exact oracle would use encode()/blob indexing).
+        # COALESCE(length,0) matches Spark's n_bytes=0 for NULL text.
         "media_features": """
 WITH b AS (
     SELECT doc_id AS media_id,
            (doc_id % 3) AS kd,
-           length(text) AS n_bytes,
+           COALESCE(length(text), 0) AS n_bytes,
            (i - 1) % 16 AS dim,
            ascii(text[i]) AS byte
-    FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+    FROM documents, UNNEST(range(1, COALESCE(length(text), 0) + 1)) AS u(i)
 ),
 f AS (
     SELECT media_id, kd, n_bytes, dim, round(avg(byte) / 255.0, 6) AS value
@@ -845,7 +850,8 @@ f AS (
 ),
 dims AS (
     SELECT m.media_id, m.kd, m.n_bytes, d.dim
-    FROM (SELECT doc_id AS media_id, (doc_id % 3) AS kd, length(text) AS n_bytes
+    FROM (SELECT doc_id AS media_id, (doc_id % 3) AS kd,
+                 COALESCE(length(text), 0) AS n_bytes
           FROM documents) m,
          UNNEST(range(0, 16)) AS d(dim)
 )

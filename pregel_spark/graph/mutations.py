@@ -27,12 +27,22 @@ def add_vertices(vertices: DataFrame, new: DataFrame) -> DataFrame:
     'vertex exists'). A plain ``dropDuplicates`` after the union would
     keep an arbitrary row per id — nondeterministic — so only genuinely
     new ids are inserted via anti-join (same pattern as the engine's
-    barrier path)."""
+    barrier path). Duplicate ids WITHIN one batch resolve
+    deterministically too: the kept row is the minimum over the value
+    columns' struct (lexicographic field order), not an arbitrary
+    partition-dependent pick."""
+    vcols = [c for c in vertices.columns if c != "id"]
+    batch = new.select(*vertices.columns)
+    if vcols:
+        batch = (
+            batch.groupBy("id")
+            .agg(F.min(F.struct(*vcols)).alias("_s"))
+            .select("id", "_s.*")
+        )
+    else:
+        batch = batch.dropDuplicates(["id"])
     return vertices.unionByName(
-        new.select(*vertices.columns)
-        .dropDuplicates(["id"])
-        .join(vertices, "id", "left_anti")
-        .select(*vertices.columns)
+        batch.join(vertices, "id", "left_anti").select(*vertices.columns)
     )
 
 

@@ -117,10 +117,14 @@ def minhash_signatures(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, sig array<long>) — sig[i] = min over shingles of
-    H(i, shingle), where H is the engine-portable seeded 60-bit md5
-    hash (hashing.py; any SQL engine reproduces the signatures exactly)
-    or Spark-internal ``xxhash64(i, shingle)`` with
-    ``hash_fn='xxhash64'`` for max throughput.
+    H(i, shingle). With ``hash_fn='md5'`` (default) H is engine-portable:
+    hash i is the i%4-th 32-bit quarter (8 hex chars) of
+    ``md5("<i//4>:" || shingle)`` — four independent 32-bit hashes per
+    digest; any SQL engine reproduces the signatures exactly (the
+    DuckDB unroll in ``__spark_entry__._minhash_sql`` is the spec).
+    ``hash_fn='xxhash64'`` switches to Spark-internal
+    ``xxhash64(i, shingle)`` for max throughput (not externally
+    reproducible).
 
     Shape: explode shingles to rows, then ONE aggregation with
     ``num_hashes`` min() functions. (A pure-expression variant —
@@ -232,7 +236,7 @@ def embedding_near_dup_pairs(
     bands: int = 16,
     rows_per_band: int = 2,
     seed: int = 42,
-    exact_limit: int = 20_000,
+    exact_limit: int = 8_000,
     n_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold (a < b).
@@ -248,6 +252,15 @@ def embedding_near_dup_pairs(
     cosine 0.4, higher above). ``mode='auto'`` (default) picks exact
     for n <= ``exact_limit`` and lsh above — the cartesian can never
     reach a large input (pass ``n_rows`` to skip the count job).
+
+    ``exact_limit`` rationale: exact evaluates n²/2 dot products vs
+    LSH's ~32n hash projections + verified bucket collisions, so the
+    break-even is where n/2 ≈ 32 + (collision factor) — order 10²-10³
+    rows, not 10⁴. 8000 (3.2e7 candidate pairs, ~1-2 s on 32 cores for
+    short vectors) is a conservative ceiling chosen so the exact path
+    is never catastrophically wrong while small inputs skip the LSH
+    constant costs; at 20k the boundary cartesian was already 2x10⁸
+    pairs.
     """
     from pyspark.sql import functions as FF
 
@@ -364,14 +377,23 @@ def near_dup_clusters(
     inverted-index join and the closure is the graph engine's O(log n)
     alternating-star connected components — numeric doc ids ride
     through zero-padded strings so the engine's lexicographic min-label
-    equals the numeric min.
+    equals the numeric min. 19-digit padding covers every non-negative
+    64-bit long; negative ids would reverse lexicographic order ('-'
+    prefix), so they fail fast.
     """
     from ..graph import connected_components_star
 
+    mn = docs.agg(F.min(F.col(id_col).cast("long")).alias("mn")).first()["mn"]
+    if mn is not None and mn < 0:
+        raise ValueError(
+            f"near_dup_clusters requires non-negative {id_col} values "
+            f"(min seen: {mn}); lexicographic min-label would not equal "
+            "the numeric min for negative ids"
+        )
     pairs = ngram_jaccard_pairs(docs, threshold, k, id_col, max_shingle_df)
     edges = pairs.select(
-        F.format_string("%012d", F.col("a")).alias("src"),
-        F.format_string("%012d", F.col("b")).alias("dst"),
+        F.format_string("%019d", F.col("a")).alias("src"),
+        F.format_string("%019d", F.col("b")).alias("dst"),
         F.lit(1.0).alias("weight"),
     )
     labels = connected_components_star(spark, edges).vertices.select(

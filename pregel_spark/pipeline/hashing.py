@@ -26,8 +26,11 @@ def hash60(col: Column | str) -> Column:
 
 
 def seeded_hash60(seed: int, col: Column | str) -> Column:
-    """``hash60`` of ``"<seed>:" || col`` — the seeded family used for
-    MinHash signatures."""
+    """``hash60`` of ``"<seed>:" || col`` — a seeded portable family.
+    (MinHash does NOT use this: its signatures take four 32-bit
+    quarters per md5 digest — see ``dedup.minhash_signatures`` — to
+    quarter the digest count; this 60-bit variant suits operators that
+    need one wide hash per seed, e.g. winnowing.)"""
     return hash60(F.concat(F.lit(f"{seed}:"), col))
 
 

@@ -93,17 +93,27 @@ def fit_centroids(
     """Plain k-means on a deterministic driver-side sample (the IVF
     coarse quantizer).
 
-    Sampling: a seeded ``df.sample`` (Bernoulli, 4x oversampled) prunes
-    the corpus BEFORE the hash-ordered exact limit, so the TakeOrdered
-    pass touches ~4*sample rows instead of the full corpus (a pure
+    Sampling: a content-hash Bernoulli filter (``xxhash64(vec) pmod M <
+    threshold``, 4x oversampled) prunes the corpus BEFORE the
+    hash-ordered exact limit, so the TakeOrdered pass touches
+    ~4*sample rows instead of the full corpus (a pure
     ``orderBy(hash).limit`` is already TakeOrdered — no global sort —
-    but still deserializes every vector at 100 TB). The hash-ordered
-    limit on top makes the final pick independent of partitioning; if
-    the Bernoulli pass undershoots, fall back to the full scan."""
+    but still deserializes every vector at 100 TB). Because the
+    predicate is a pure function of row CONTENT (unlike ``df.sample``,
+    which draws per-partition), the pick — hence the centroids — is
+    identical under any repartitioning of the corpus. The one
+    ``count()`` job sizes the filter fraction; if the Bernoulli pass
+    undershoots, fall back to the full scan."""
     n = corpus.count()
     pruned = corpus.select(vec_col)
     if n > sample * 4:
-        pruned = pruned.sample(fraction=min(1.0, (sample * 4) / n), seed=seed)
+        _M = 1_000_000
+        thresh = int(min(1.0, (sample * 4) / n) * _M)
+        pruned = pruned.filter(
+            F.pmod(
+                F.xxhash64(F.col(vec_col).cast("string")), F.lit(_M)
+            ) < thresh
+        )
     rows = (
         pruned.orderBy(F.xxhash64(F.col(vec_col).cast("string")))
         .limit(sample)

@@ -24,6 +24,17 @@ def test_add_vertices_first_writer_wins(spark):
     assert got == {"a": 1, "b": 2, "c": 3}
 
 
+def test_add_vertices_intra_batch_deterministic(spark):
+    # duplicate ids within ONE batch keep the min-by-value-struct row,
+    # regardless of input order/partitioning
+    v = spark.createDataFrame([("a", 1)], "id string, value long")
+    for batch in (["x", 5, "x", 2, "x", 9], ["x", 9, "x", 2, "x", 5]):
+        rows = [(batch[i], batch[i + 1]) for i in range(0, len(batch), 2)]
+        new = spark.createDataFrame(rows, "id string, value long").repartition(3)
+        got = {r["id"]: r["value"] for r in add_vertices(v, new).collect()}
+        assert got == {"a": 1, "x": 2}
+
+
 def test_add_edges_keeps_existing_weight(spark):
     e = edges_df(spark, [("a", "b")], weight=5.0)
     new = edges_df(spark, [("a", "b"), ("b", "c")], weight=1.0)

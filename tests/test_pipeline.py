@@ -416,3 +416,52 @@ def test_near_dup_clusters_transitive(spark, docs):
     assert {d: c for d, (c, _) in got.items()} == want
     for d, (c, keep) in got.items():
         assert keep == (d == c)
+
+
+def test_near_dup_clusters_id_width(spark):
+    """Ids >= 10^12 (e.g. 64-bit hash-derived) must cluster to the
+    NUMERIC min (19-digit padding regression: 12-digit width silently
+    mis-sorted them); negative ids fail fast."""
+    from pregel_spark.pipeline import near_dup_clusters
+
+    big = 5_000_000_000_000  # > 10^12
+    docs = spark.createDataFrame(
+        [(big + 7, "the cat sat on the mat today"),
+         (big + 3, "the cat sat on the mat today"),
+         (12, "the cat sat on the mat today")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+           near_dup_clusters(spark, docs, threshold=0.3).collect()}
+    assert got == {12: (12, True), big + 3: (12, False), big + 7: (12, False)}
+
+    neg = spark.createDataFrame(
+        [(-1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        near_dup_clusters(spark, neg, threshold=0.3)
+
+
+def test_embedding_auto_routes_at_exact_limit(spark):
+    """mode='auto' picks the cartesian at n <= exact_limit and banded
+    LSH above (checked structurally: the LSH plan joins on band/key,
+    the exact plan is a non-equi cross product)."""
+    from pregel_spark.pipeline import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(30, 8))
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def plan_of(**kw):
+        return (
+            embedding_near_dup_pairs(emb, threshold=0.9, **kw)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    at_limit = plan_of(n_rows=8_000)     # == exact_limit -> cartesian
+    above = plan_of(n_rows=8_001)        # one past -> LSH
+    assert "NestedLoop" in at_limit or "CartesianProduct" in at_limit
+    assert "NestedLoop" not in above and "CartesianProduct" not in above
