@@ -3,8 +3,8 @@ deduplication, similarity search, text analysis, multimodal plumbing.
 
 All hot paths are native pyspark.sql.functions (JVM, whole-stage
 codegen); Python appears only as Arrow-batched pandas UDFs where a
-kernel is genuinely non-expressible (simhash bit packing, k-means
-assignment) — never per-row Python UDFs.
+kernel is genuinely non-expressible (k-means assignment, the stubbed
+media decode) — never per-row Python UDFs.
 """
 
 from .textstats import (
@@ -24,7 +24,12 @@ from .dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
-from .simsearch import brute_force_topk, ivf_topk
+from .simsearch import (
+    brute_force_topk,
+    ivf_topk,
+    ivf_topk_indexed,
+    write_ivf_index,
+)
 from .multimodal import (
     decode_media_batch,
     media_feature_rows,
@@ -48,6 +53,8 @@ __all__ = [
     "simhash_pairs",
     "brute_force_topk",
     "ivf_topk",
+    "ivf_topk_indexed",
+    "write_ivf_index",
     "decode_media_batch",
     "media_feature_rows",
     "media_features",

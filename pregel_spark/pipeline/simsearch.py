@@ -8,9 +8,11 @@
 - ``ivf_topk``: IVF-style scale path — k-means centroids fitted
   driver-side on a seeded sample (numpy), assignment via an
   Arrow-batched pandas UDF (matrix multiply per batch), search
-  restricted to the ``nprobe`` nearest centroids per query. At 100 TB
-  the corpus is scanned once to assign + write bucketed by centroid;
-  queries then prune partitions (classic IVF partition pruning).
+  restricted to the ``nprobe`` nearest centroids per query.
+- ``write_ivf_index`` / ``ivf_topk_indexed``: the static-corpus 100 TB
+  path — assign once, write parquet partitioned by ``centroid``;
+  queries prune the scan to the probed bucket directories (classic
+  IVF inverted lists as partition pruning).
 """
 
 from __future__ import annotations
@@ -161,34 +163,38 @@ def assign_centroids(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def _probe_sets(
     queries: DataFrame,
-    k: int = 5,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    centroids: np.ndarray | None = None,
-) -> DataFrame:
-    """Approximate cosine top-k searching only the nprobe nearest
-    centroid buckets per query. Same output schema as brute_force_topk."""
-    spark = corpus.sparkSession
-    if centroids is None:
-        centroids = fit_centroids(corpus, n_centroids, vec_col=vec_col)
-    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
-
-    # queries -> their nprobe nearest centroids (tiny; driver-side)
+    centroids: np.ndarray,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> list[tuple[int, list[int]]]:
+    """(query_id, nprobe nearest centroid ids) — tiny; driver-side."""
     qrows = queries.select(id_col, vec_col).collect()
     qids = [r[0] for r in qrows]
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     d = ((Q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-    probe_rows = [
+    return [
         (int(qid), [int(c) for c in np.argsort(dd)[:nprobe]])
         for qid, dd in zip(qids, d)
     ]
+
+
+def _topk_over_assigned(
+    assigned: DataFrame,
+    queries: DataFrame,
+    probe_rows: list[tuple[int, list[int]]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Score each query against its probed centroid buckets of an
+    already-assigned corpus (id, vec, centroid); exact verify inside
+    the buckets."""
+    spark = assigned.sparkSession
     probes = spark.createDataFrame(
-        probe_rows, f"query_id long, probe array<int>"
+        probe_rows, "query_id long, probe array<int>"
     ).select("query_id", F.explode("probe").alias("centroid"))
     qdf = queries.select(
         F.col(id_col).alias("query_id"),
@@ -217,3 +223,84 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k searching only the nprobe nearest
+    centroid buckets per query. Same output schema as brute_force_topk.
+
+    Assignment is recomputed inline per call — right for ad-hoc
+    corpora; a STATIC corpus should be assigned once with
+    :func:`write_ivf_index` and queried with :func:`ivf_topk_indexed`,
+    whose scan prunes to the probed centroid partitions."""
+    if centroids is None:
+        centroids = fit_centroids(corpus, n_centroids, vec_col=vec_col)
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    probe_rows = _probe_sets(queries, centroids, nprobe, id_col, vec_col)
+    return _topk_over_assigned(assigned, queries, probe_rows, k, id_col, vec_col)
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """The IVF 100 TB path, step 1: assign the corpus ONCE and write it
+    parquet-partitioned by ``centroid`` (``<path>/corpus/centroid=i/``)
+    plus a centroid sidecar table (``<path>/centroids``). Queries then
+    read back via :func:`ivf_topk_indexed`, whose partition filter
+    prunes the scan to the probed buckets — the classic IVF inverted
+    list, expressed as parquet partition pruning. Returns the fitted
+    centroids."""
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = fit_centroids(corpus, n_centroids, vec_col=vec_col)
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(
+        f"{path}/corpus"
+    )
+    spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(centroids)],
+        "centroid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return np.asarray(centroids, dtype=np.float64)
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF 100 TB path, step 2: query a :func:`write_ivf_index`
+    layout. The static ``centroid IN (probed)`` filter reaches the
+    parquet scan as a partition filter, so only the probed bucket
+    directories are read (verified by an input_file_name() test) —
+    results are identical to inline :func:`ivf_topk` with the same
+    centroids."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = np.array(
+        [r["cvec"] for r in sorted(cent_rows, key=lambda r: r["centroid"])],
+        dtype=np.float64,
+    )
+    probe_rows = _probe_sets(queries, centroids, nprobe, id_col, vec_col)
+    probed = sorted({c for _, cs in probe_rows for c in cs})
+    assigned = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("centroid").isin(probed)
+    )
+    return _topk_over_assigned(assigned, queries, probe_rows, k, id_col, vec_col)

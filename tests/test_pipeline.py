@@ -208,6 +208,59 @@ def test_ivf_topk_recall(spark):
     assert np.mean(recalls) >= 0.8, recalls
 
 
+def test_ivf_index_prunes_partitions(spark, tmp_path):
+    """write_ivf_index + ivf_topk_indexed: the scan must touch ONLY the
+    probed centroid=... bucket directories (real partition pruning, not
+    a post-scan filter), and results must equal inline ivf_topk with
+    the same centroids."""
+    from pyspark.sql import functions as F
+    from pregel_spark.pipeline import ivf_topk, ivf_topk_indexed, write_ivf_index
+    from pregel_spark.pipeline.simsearch import _probe_sets
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(scale=5.0, size=(8, 8))
+    X = np.vstack([centers[i % 8] + rng.normal(size=8) for i in range(400)])
+    emb = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    cents = write_ivf_index(emb, path, n_centroids=8)
+    queries = emb.filter("vec_id < 3")
+
+    probed = sorted(
+        {c for _, cs in _probe_sets(queries, cents, 2, "vec_id", "embedding")
+         for c in cs}
+    )
+    assert len(probed) < 8  # pruning must have something to prune
+
+    # files actually read by the pruned scan all belong to probed buckets
+    pruned_scan = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("centroid").isin(probed)
+    )
+    files = {
+        r[0] for r in
+        pruned_scan.select(F.input_file_name()).distinct().collect()
+    }
+    assert files and all(
+        any(f"centroid={c}/" in f for c in probed) for f in files
+    ), files
+    plan = pruned_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+
+    got = sorted(
+        tuple(r) for r in
+        ivf_topk_indexed(spark, path, queries, k=5, nprobe=2).collect()
+    )
+    want = sorted(
+        tuple(r) for r in
+        ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents).collect()
+    )
+    assert got == want
+
+
 def test_token_stats_and_quality(docs):
     import re as _re
 
