@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tableio import CheckpointManager
 from .build import order_preserving_id_map, undirect, vertices_from_edges
-from .engine import PregelResult, bsp_loop_confs, materialize
+from .engine import PregelResult, bsp_loop_confs, materialize, shuffle_totals
 
 
 def connected_components(
@@ -184,34 +184,52 @@ def connected_components(
     )
 
 
-def _star_round(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
+def _star_round(e: DataFrame, large: bool) -> DataFrame:
     """One large-star / small-star step (Kiveris et al., 'Connected
     Components in MapReduce and Beyond'): view the current edge set
     symmetrically, find each node's minimum over {self} ∪ neighbors,
     and re-point the > (large) or <= (small) neighbors at that minimum.
-    Pure groupBy + join; every op has map-side partial aggregation.
 
-    ``dedup=False`` skips the output ``distinct()`` — semantically safe
-    (the min aggregation is multiset-invariant and each input row emits
-    at most one output row, so the multiset never grows) and drops one
-    O(E) exchange; the caller dedups once per large+small round instead
-    of twice."""
+    Single-pass shape: ONE aggregation computes, per node, BOTH the
+    minimum and the (condition-filtered, deduped) neighbor list, and a
+    row-local ``explode`` re-points them — no join, no second consumer
+    of the symmetrized edges. That makes a star step exactly one O(E)
+    exchange (the groupBy itself) plus narrow work, and the only
+    materialization per step is the step OUTPUT. Earlier shapes that
+    looked shuffle-minimal on paper (repartition once + partition-
+    aligned dedup/min/join) measured ~1.9x SLOWER at 100M edges: each
+    multi-consumer intermediate (``sym``, ``mins``) had to be
+    localCheckpoint-ed to stop Catalyst re-planning it per consumer,
+    and caching 2E-row intermediates 4-6x per round costs more wall
+    than the exchanges it saved (BENCH_SCALING_cc_star telemetry,
+    BASELINE.md). Dedup is row-local for free via ``array_distinct``
+    (duplicates across groups are tolerated round-over-round: each
+    input row emits at most one output row, so the multiset never
+    grows; a single final dedup runs before label extraction).
+
+    Skew note: a node's collected neighbor list is its adjacency —
+    the same CSR-blocking bound as ``build.adjacency``. For web-scale
+    mega-hubs (degree ~1e8+) route the hot keys through
+    ``skew.salted_collect_list`` first; at this tier the min is
+    algebraic so hub lists could also be two-phase salted, kept simple
+    here."""
     sym = e.select("u", "v").unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = sym.groupBy("u").agg(F.min("v").alias("_mv")).select(
-        "u", F.least("_mv", F.col("u")).alias("m")
-    )
     cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
-    out = (
-        sym.filter(cond)
-        .join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-    )
+    agg = sym.groupBy("u").agg(
+        F.min("v").alias("_mv"),
+        F.array_distinct(
+            F.collect_list(F.when(cond, F.col("v")))
+        ).alias("tgt"),
+    ).select("u", F.least("_mv", F.col("u")).alias("m"), "tgt")
     if not large:
-        out = out.unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
-    out = out.filter(F.col("u") != F.col("v"))
-    return out.distinct() if dedup else out
+        # small star also re-points u itself at m
+        agg = agg.select("m", F.concat("tgt", F.array("u")).alias("tgt"))
+    out = agg.select(
+        F.explode("tgt").alias("u"), F.col("m").alias("v")
+    )
+    return out.filter(F.col("u") != F.col("v"))
 
 
 def connected_components_star(
@@ -240,39 +258,50 @@ def connected_components_star(
         .join(vmap.withColumnRenamed("id", "dst"), "dst")
         .select("u", F.col("vid").alias("v"))
         .filter(F.col("u") < F.col("v"))  # canonical undirected pairs
-        .distinct()
     )
-    e = materialize(e.repartition(n_part, "u"))
+    # dedup folded into the repartition: partitioned-on-u input makes
+    # dropDuplicates(u, v) exchange-free (subset rule)
+    e = materialize(e.repartition(n_part, "u").dropDuplicates(["u", "v"]))
 
     metrics: list[dict] = []
     converged = False
     rounds = 0
     prev_sig = None
+    prev_shuf = shuffle_totals(spark)
     with bsp_loop_confs(spark):
         for rounds in range(1, max_rounds + 1):
             t0 = time.monotonic()
-            e = materialize(
-                _star_round(_star_round(e, large=True, dedup=False), large=False)
-                .repartition(n_part, "u")
-            )
+            # materialize BETWEEN the stars: the small star references
+            # its input twice (union with swap) — unmaterialized, the
+            # large-star subtree would compute twice per round
+            e = materialize(_star_round(e, large=True))
+            e = materialize(_star_round(e, large=False))
             row = e.agg(
                 F.count(F.lit(1)).alias("n"),
                 # decimal sum: a long sum overflows under ANSI mode
                 F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sig"),
             ).collect()[0]
             sig = (row["n"], row["sig"])
-            metrics.append(
-                {
-                    "superstep": rounds,
-                    "wall_ms": (time.monotonic() - t0) * 1000,
-                    "edges": row["n"],
-                }
-            )
+            m = {
+                "superstep": rounds,
+                "wall_ms": (time.monotonic() - t0) * 1000,
+                "edges": row["n"],
+            }
+            shuf = shuffle_totals(spark)
+            if shuf is not None and prev_shuf is not None:
+                m["shuffle_write_bytes"] = shuf[0] - prev_shuf[0]
+                m["shuffle_read_bytes"] = shuf[1] - prev_shuf[1]
+            prev_shuf = shuf
+            metrics.append(m)
             if sig == prev_sig:
                 converged = True
                 break
             prev_sig = sig
 
+    # the loop's edge multiset may carry duplicates (dedup runs at the
+    # head of each star step, not on its output) — dedup once before
+    # label extraction
+    e = e.dropDuplicates(["u", "v"])
     # fixpoint is a star forest: non-roots point at their component min
     roots = vmap.select(F.col("vid").alias("u")).join(
         e.select("u").distinct(), "u", "left_anti"

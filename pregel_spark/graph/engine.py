@@ -54,8 +54,40 @@ from .skew import salted_collect_list
 
 
 def materialize(df: DataFrame) -> DataFrame:
-    """Cut lineage + cache: the per-superstep barrier materialization."""
+    """Cut lineage + cache: the per-superstep barrier materialization.
+
+    Note (measured on Spark 4.1): ``localCheckpoint`` PRESERVES the
+    physical ``outputPartitioning`` — a loop-carried table checkpointed
+    after ``repartition(n, key)`` re-enters the next superstep's
+    joins/aggregations on ``key`` with NO new exchange. The loops below
+    rely on this."""
     return df.localCheckpoint(eager=True)
+
+
+def shuffle_totals(spark: SparkSession) -> tuple[int, int] | None:
+    """(shuffle_write_bytes, shuffle_read_bytes) summed over completed
+    stages, via the UI REST API. Returns None when the UI is disabled
+    (the default session) — callers record deltas per superstep only in
+    measurement runs (scripts/bench_scaling.py enables the UI)."""
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return None
+    try:
+        import json as _json
+        import urllib.request
+
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=5,
+        ) as r:
+            stages = _json.load(r)
+        return (
+            sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            sum(s.get("shuffleReadBytes", 0) for s in stages),
+        )
+    except Exception:
+        return None
 
 
 @contextmanager

@@ -8,10 +8,29 @@ with no neighbors keep their label. Stops when no label changes or at
 ``max_iter`` (sync LPA may oscillate on bipartite structures — the cap
 is part of the pinned semantics, oracle uses the same cap).
 
-Plan per superstep: scatter join + ``groupBy(id,label).count`` +
-windowed argmax (``row_number`` over count desc, label asc). The
-count aggregation gets map-side partial aggregation; the window is
-partitioned by vertex so no global sort.
+Two physical modes, identical results (property-tested):
+
+- ``rescatter`` (the classic shape): every superstep re-announces every
+  label — scatter join + ``groupBy(id,label).count`` + argmax. Two
+  O(E)-sized exchanges per superstep regardless of how many labels
+  still change.
+- ``frontier`` (default on the numeric path): carry a decremental
+  neighbor-label count table ``cmap: map<label, n>`` INSIDE the vertex
+  state, hash-partitioned by ``id`` and preserved across supersteps by
+  ``localCheckpoint`` (see ``materialize``). The argmax is then
+  row-local (``array_max`` over ``map_entries`` — no shuffle at all),
+  and only vertices whose label CHANGED scatter ``(-1 old, +1 new)``
+  deltas over their edges; the merge back is a partition-aligned
+  left-outer join + ``map_zip_with``/``map_filter``. Per-superstep
+  shuffle volume is O(frontier-incident edges), not O(E) — as the
+  frontier collapses (LPA converges fast), supersteps become almost
+  shuffle-free. The left-outer merge is sound because the vertex-id
+  domain is static; a (vertex,label)-keyed row table would need a
+  partitioning-destroying full-outer join instead. Hub caveat: a
+  vertex's ``cmap`` holds one entry per DISTINCT label among its
+  neighbors (degree-bounded early, ~1 at convergence); for
+  pathological hubs (degree ~10^8) prefer ``mode='rescatter'``, whose
+  count rows shard across partitions.
 """
 
 from __future__ import annotations
@@ -38,13 +57,23 @@ def label_propagation(
     numeric_ids: bool = True,
     argmax: str = "struct",
     partition_metrics: bool | None = None,
+    mode: str = "auto",
 ) -> PregelResult:
     """Returns (id, label) after synchronous LPA.
 
     ``numeric_ids``: loop on the order-preserving long mapping (see
     ``connected_components``) — the mode count is relabel-invariant and
     the min tie-break survives a monotone mapping, so assignments are
-    byte-identical after mapping back."""
+    byte-identical after mapping back.
+
+    ``mode``: ``'rescatter'`` | ``'frontier'`` | ``'auto'`` (module
+    docstring). ``'auto'`` picks ``'frontier'`` on the numeric
+    struct-argmax path, else ``'rescatter'`` (the frontier argmax
+    needs numeric labels for the ``max(struct(n, -label))`` trick)."""
+    if mode == "auto":
+        mode = "frontier" if (numeric_ids and argmax == "struct") else "rescatter"
+    if mode == "frontier" and not numeric_ids:
+        raise ValueError("mode='frontier' requires numeric_ids=True")
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
     ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
@@ -88,78 +117,18 @@ def label_propagation(
     with bsp_loop_confs(spark):
         converged = False
         superstep = start_step - 1
-        w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("cand"))
-        for superstep in range(start_step, max_iter + 1):
-            t0 = time.monotonic()
-            msgs = ue.join(labels.withColumnRenamed("id", "src"), "src").select(
-                F.col("dst").alias("id"), F.col("label").alias("cand")
+        if mode == "frontier":
+            labels, superstep, converged = _frontier_loop(
+                spark, ue, labels, n_part, start_step, max_iter, run_id,
+                ckpt, checkpoint_interval, partition_metrics,
+                metrics, part_metrics,
             )
-            counts = msgs.groupBy("id", "cand").agg(F.count(F.lit(1)).alias("n"))
-            if vmap is not None and argmax == "struct":
-                # numeric labels: the deterministic argmax (n desc, cand
-                # asc) is max(struct(n, -cand)) — one aggregation instead
-                # of a row_number window (A/B-able; see BASELINE.md)
-                best = (
-                    counts.groupBy("id")
-                    .agg(
-                        F.max(
-                            F.struct(F.col("n"), (-F.col("cand")).alias("nc"))
-                        ).alias("m")
-                    )
-                    .select("id", (-F.col("m.nc")).alias("new_label"))
-                )
-            else:
-                best = (
-                    counts.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .select("id", F.col("cand").alias("new_label"))
-                )
-            nxt = materialize(
-                labels.join(best, "id", "left_outer")
-                .select(
-                    "id",
-                    F.coalesce("new_label", F.col("label")).alias("label"),
-                    (
-                        F.col("new_label").isNotNull()
-                        & (F.col("new_label") != F.col("label"))
-                    ).alias("_changed"),
-                )
-                )
-            if partition_metrics:
-                prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("changed"),
-                ).collect()
-                changed = sum(r["changed"] or 0 for r in prows)
-                part_metrics.extend(
-                    {
-                        "run_id": run_id,
-                        "superstep": superstep,
-                        "partition_id": r["pid"],
-                        "rows": r["rows"],
-                    }
-                    for r in prows
-                )
-            else:
-                changed = nxt.filter(F.col("_changed")).count()
-            labels = nxt.select("id", "label")
-            metrics.append(
-                {
-                    "run_id": run_id,
-                    "superstep": superstep,
-                    "wall_ms": (time.monotonic() - t0) * 1000,
-                    "changed": changed,
-                }
+        else:
+            labels, superstep, converged = _rescatter_loop(
+                spark, ue, labels, n_part, start_step, max_iter, run_id,
+                ckpt, checkpoint_interval, partition_metrics,
+                metrics, part_metrics, vmap, argmax,
             )
-            if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
-                ckpt.save(superstep, labels, meta={"changed": changed})
-                ckpt.append_metrics(spark, metrics[n_metrics_appended:])
-                n_metrics_appended = len(metrics)
-                ckpt.append_partition_metrics(spark, part_metrics[n_pmetrics_appended:])
-                n_pmetrics_appended = len(part_metrics)
-            if changed == 0:
-                converged = True
-                break
 
     if vmap is not None:
         labels = (
@@ -180,3 +149,244 @@ def label_propagation(
         run_id=run_id,
         partition_metrics=part_metrics,
     )
+
+
+def _rescatter_loop(
+    spark, ue, labels, n_part, start_step, max_iter, run_id,
+    ckpt, checkpoint_interval, partition_metrics, metrics, part_metrics,
+    vmap, argmax,
+):
+    """Classic full-rescatter superstep: 2 O(E) exchanges per round."""
+    converged = False
+    superstep = start_step - 1
+    n_metrics_appended = len(metrics)
+    n_pmetrics_appended = len(part_metrics)
+    w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("cand"))
+    for superstep in range(start_step, max_iter + 1):
+        t0 = time.monotonic()
+        msgs = ue.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), F.col("label").alias("cand")
+        )
+        counts = msgs.groupBy("id", "cand").agg(F.count(F.lit(1)).alias("n"))
+        if vmap is not None and argmax == "struct":
+            # numeric labels: the deterministic argmax (n desc, cand
+            # asc) is max(struct(n, -cand)) — one aggregation instead
+            # of a row_number window (A/B-able; see BASELINE.md)
+            best = (
+                counts.groupBy("id")
+                .agg(
+                    F.max(
+                        F.struct(F.col("n"), (-F.col("cand")).alias("nc"))
+                    ).alias("m")
+                )
+                .select("id", (-F.col("m.nc")).alias("new_label"))
+            )
+        else:
+            best = (
+                counts.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("id", F.col("cand").alias("new_label"))
+            )
+        nxt = materialize(
+            labels.join(best, "id", "left_outer")
+            .select(
+                "id",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+                (
+                    F.col("new_label").isNotNull()
+                    & (F.col("new_label") != F.col("label"))
+                ).alias("_changed"),
+            )
+        )
+        if partition_metrics:
+            prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("changed"),
+            ).collect()
+            changed = sum(r["changed"] or 0 for r in prows)
+            part_metrics.extend(
+                {
+                    "run_id": run_id,
+                    "superstep": superstep,
+                    "partition_id": r["pid"],
+                    "rows": r["rows"],
+                }
+                for r in prows
+            )
+        else:
+            changed = nxt.filter(F.col("_changed")).count()
+        labels = nxt.select("id", "label")
+        metrics.append(
+            {
+                "run_id": run_id,
+                "superstep": superstep,
+                "wall_ms": (time.monotonic() - t0) * 1000,
+                "changed": changed,
+            }
+        )
+        if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
+            ckpt.save(superstep, labels, meta={"changed": changed})
+            ckpt.append_metrics(spark, metrics[n_metrics_appended:])
+            n_metrics_appended = len(metrics)
+            ckpt.append_partition_metrics(spark, part_metrics[n_pmetrics_appended:])
+            n_pmetrics_appended = len(part_metrics)
+        if changed == 0:
+            converged = True
+            break
+    return labels, superstep, converged
+
+
+def _frontier_loop(
+    spark, ue, labels, n_part, start_step, max_iter, run_id,
+    ckpt, checkpoint_interval, partition_metrics, metrics, part_metrics,
+):
+    """Decremental-count superstep (module docstring): state is
+    ``(id, label, cmap)`` hash-partitioned by ``id``; per round the
+    argmax is row-local and only the changed frontier shuffles.
+
+    Exchange audit (everything else partition-aligned, verified via
+    ``.explain``): one O(E) exchange to seed ``cmap``; then per round
+    ONE exchange of the frontier's ±1 delta messages. The seeding
+    ``groupBy(id, cand)`` and the delta merge both ride
+    ``HashPartitioning(id)`` (subset-of-grouping-keys rule), and the
+    left-outer merge join preserves the streamed side's partitioning,
+    which ``localCheckpoint`` carries into the next round."""
+    converged = False
+    superstep = start_step - 1
+    n_metrics_appended = len(metrics)
+    n_pmetrics_appended = len(part_metrics)
+
+    # Seed cmap: one full scatter — the same O(E) exchange a single
+    # rescatter superstep pays, paid once.
+    cmap0 = (
+        ue.join(
+            labels.withColumnRenamed("id", "src")
+            .withColumnRenamed("label", "cand"),
+            "src",
+        )
+        .select(F.col("dst").alias("id"), "cand")
+        .repartition(n_part, "id")
+        .groupBy("id", "cand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("cand", "n"))).alias("cmap"))
+    )
+    state = materialize(
+        labels.join(cmap0, "id", "left_outer").select("id", "label", "cmap")
+    )
+
+    for superstep in range(start_step, max_iter + 1):
+        t0 = time.monotonic()
+        # Row-local deterministic argmax over the neighbor-label counts:
+        # max(struct(n, -cand)) == (count desc, label asc). Empty/NULL
+        # cmap (isolated vertex) keeps its label.
+        m = F.array_max(
+            F.transform(
+                F.map_entries("cmap"),
+                lambda e: F.struct(
+                    e["value"].alias("n"), (-e["key"]).alias("nc")
+                ),
+            )
+        )
+        cur = state.select(
+            "id",
+            F.col("label").alias("_old"),
+            F.coalesce(-m["nc"], F.col("label")).alias("label"),
+            "cmap",
+        )
+        if partition_metrics:
+            prows = cur.groupBy(F.spark_partition_id().alias("pid")).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum((F.col("label") != F.col("_old")).cast("long")).alias(
+                    "changed"
+                ),
+            ).collect()
+            changed = sum(r["changed"] or 0 for r in prows)
+            part_metrics.extend(
+                {
+                    "run_id": run_id,
+                    "superstep": superstep,
+                    "partition_id": r["pid"],
+                    "rows": r["rows"],
+                }
+                for r in prows
+            )
+        else:
+            changed = cur.filter(F.col("label") != F.col("_old")).count()
+
+        if changed > 0:
+            # Only the frontier scatters: retract old label, announce
+            # new, over each changed vertex's edges.
+            delta = cur.filter(F.col("label") != F.col("_old")).select(
+                F.col("id").alias("src"), "_old", F.col("label").alias("_new")
+            )
+            dmsgs = (
+                ue.join(delta.hint("shuffle_hash"), "src")
+                .select(
+                    F.col("dst").alias("id"),
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("_old").alias("cand"),
+                                F.lit(-1).cast("long").alias("dn"),
+                            ),
+                            F.struct(
+                                F.col("_new").alias("cand"),
+                                F.lit(1).cast("long").alias("dn"),
+                            ),
+                        )
+                    ).alias("e"),
+                )
+                .select("id", F.col("e.cand").alias("cand"), F.col("e.dn").alias("dn"))
+            )
+            dmap = (
+                dmsgs.repartition(n_part, "id")
+                .groupBy("id", "cand")
+                .agg(F.sum("dn").alias("dn"))
+                .filter(F.col("dn") != 0)
+                .groupBy("id")
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("cand", "dn"))
+                    ).alias("dmap")
+                )
+            )
+            state = materialize(
+                cur.join(dmap, "id", "left_outer").select(
+                    "id",
+                    "label",
+                    F.when(F.col("dmap").isNull(), F.col("cmap"))
+                    .otherwise(
+                        F.map_filter(
+                            F.map_zip_with(
+                                "cmap",
+                                "dmap",
+                                lambda k, v1, v2: F.coalesce(v1, F.lit(0))
+                                + F.coalesce(v2, F.lit(0)),
+                            ),
+                            lambda k, v: v > F.lit(0),
+                        )
+                    )
+                    .alias("cmap"),
+                )
+            )
+        # changed == 0 ⇒ the old state's labels are already current
+        labels = state.select("id", "label")
+        metrics.append(
+            {
+                "run_id": run_id,
+                "superstep": superstep,
+                "wall_ms": (time.monotonic() - t0) * 1000,
+                "changed": changed,
+            }
+        )
+        if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
+            ckpt.save(superstep, labels, meta={"changed": changed})
+            ckpt.append_metrics(spark, metrics[n_metrics_appended:])
+            n_metrics_appended = len(metrics)
+            ckpt.append_partition_metrics(spark, part_metrics[n_pmetrics_appended:])
+            n_pmetrics_appended = len(part_metrics)
+        if changed == 0:
+            converged = True
+            break
+    return labels, superstep, converged

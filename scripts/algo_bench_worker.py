@@ -41,6 +41,9 @@ def main():
         f"{algo}-scaling-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=n_part,
+        # UI on so loops can record per-superstep shuffle-byte deltas
+        # (engine.shuffle_totals) — measurement runs only
+        extra_conf={"spark.ui.enabled": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     if sf_dir.endswith(".edges.parquet") or os.path.exists(
@@ -62,7 +65,11 @@ def main():
         res = connected_components_star(spark, edges, max_rounds=max_iter)
         res.vertices.write.format("noop").mode("overwrite").save()
     elif algo == "lpa":
-        res = label_propagation(spark, edges, max_iter=max_iter)
+        # LPA_MODE=rescatter|frontier|auto for the frontier-vs-full A/B
+        res = label_propagation(
+            spark, edges, max_iter=max_iter,
+            mode=os.environ.get("LPA_MODE", "auto"),
+        )
         res.vertices.write.format("noop").mode("overwrite").save()
     else:
         raise SystemExit(f"unknown algo {algo}")
@@ -83,6 +90,13 @@ def main():
         "supersteps_per_hour": round(res.supersteps / loop_sec * 3600, 1),
         "step_walls_ms": [round(m["wall_ms"], 1) for m in res.metrics],
     }
+    if any("shuffle_write_bytes" in m for m in res.metrics):
+        out["step_shuffle_write_mb"] = [
+            round(m.get("shuffle_write_bytes", 0) / 1e6, 1) for m in res.metrics
+        ]
+        out["step_shuffle_read_mb"] = [
+            round(m.get("shuffle_read_bytes", 0) / 1e6, 1) for m in res.metrics
+        ]
     print("BENCHJSON:" + json.dumps(out))
     spark.stop()
 

@@ -90,6 +90,23 @@ def test_label_propagation(spark):
         assert got == lpa_oracle(pairs, max_iter=10)
 
 
+def test_label_propagation_modes_equivalent(spark):
+    # frontier (decremental counts) must equal rescatter AND the naive
+    # oracle label-for-label, including on graphs where the frontier
+    # shrinks gradually (powerlaw hub) and where ties matter (cliques)
+    for pairs in (TOY7, CLIQUE_BRIDGE, powerlaw_hub(n=120), two_components(n=20)):
+        e = edges_df(spark, pairs)
+        want = lpa_oracle(pairs, max_iter=6)
+        by_mode = {}
+        for mode in ("frontier", "rescatter"):
+            res = label_propagation(spark, e, max_iter=6, mode=mode)
+            by_mode[mode] = {
+                r["id"]: r["label"] for r in res.vertices.collect()
+            }
+            assert by_mode[mode] == want, mode
+        assert by_mode["frontier"] == by_mode["rescatter"]
+
+
 def test_triangles_clique_bridge(spark):
     e = edges_df(spark, CLIQUE_BRIDGE)
     n = triangle_count(e).collect()[0]["n_triangles"]
