@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tableio import CheckpointManager
 from .build import order_preserving_id_map, undirect, vertices_from_edges
-from .engine import PregelResult, bsp_loop_confs, materialize, shuffle_totals
+from .engine import PregelResult, ShuffleDelta, bsp_loop_confs, materialize
 
 
 def connected_components(
@@ -94,6 +94,7 @@ def connected_components(
             frontier = materialize(fr.repartition(n_part, "id")) if fr is not None else None
             start_step = latest + 1
 
+    shufd = ShuffleDelta(spark)
     with bsp_loop_confs(spark):
         converged = False
         superstep = start_step - 1
@@ -149,6 +150,7 @@ def connected_components(
                     "superstep": superstep,
                     "wall_ms": (time.monotonic() - t0) * 1000,
                     "changed": changed,
+                    **shufd.sample(),
                 }
             )
             if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
@@ -267,7 +269,7 @@ def connected_components_star(
     converged = False
     rounds = 0
     prev_sig = None
-    prev_shuf = shuffle_totals(spark)
+    shufd = ShuffleDelta(spark)
     with bsp_loop_confs(spark):
         for rounds in range(1, max_rounds + 1):
             t0 = time.monotonic()
@@ -287,11 +289,7 @@ def connected_components_star(
                 "wall_ms": (time.monotonic() - t0) * 1000,
                 "edges": row["n"],
             }
-            shuf = shuffle_totals(spark)
-            if shuf is not None and prev_shuf is not None:
-                m["shuffle_write_bytes"] = shuf[0] - prev_shuf[0]
-                m["shuffle_read_bytes"] = shuf[1] - prev_shuf[1]
-            prev_shuf = shuf
+            m.update(shufd.sample())
             metrics.append(m)
             if sig == prev_sig:
                 converged = True

@@ -90,6 +90,30 @@ def shuffle_totals(spark: SparkSession) -> tuple[int, int] | None:
         return None
 
 
+class ShuffleDelta:
+    """Per-superstep shuffle-byte deltas for loop telemetry. Free when
+    the UI is disabled (``sample()`` returns ``{}``); measurement runs
+    (scripts/bench_scaling.py) enable the UI and get
+    ``shuffle_{write,read}_bytes`` keys merged into each superstep's
+    metrics row — the per-round exchange-volume evidence behind the
+    scaling analysis in BASELINE.md."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._prev = shuffle_totals(spark)
+
+    def sample(self) -> dict:
+        cur = shuffle_totals(self._spark)
+        out: dict = {}
+        if cur is not None and self._prev is not None:
+            out = {
+                "shuffle_write_bytes": cur[0] - self._prev[0],
+                "shuffle_read_bytes": cur[1] - self._prev[1],
+            }
+        self._prev = cur
+        return out
+
+
 @contextmanager
 def bsp_loop_confs(spark: SparkSession):
     """Loop-scoped Spark confs for BSP supersteps. Measured effects:

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..tableio import CheckpointManager
 from .build import order_preserving_id_map, undirect, vertices_from_edges
-from .engine import PregelResult, bsp_loop_confs, materialize
+from .engine import PregelResult, ShuffleDelta, bsp_loop_confs, materialize
 
 
 def label_propagation(
@@ -161,6 +161,7 @@ def _rescatter_loop(
     superstep = start_step - 1
     n_metrics_appended = len(metrics)
     n_pmetrics_appended = len(part_metrics)
+    shufd = ShuffleDelta(spark)
     w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("cand"))
     for superstep in range(start_step, max_iter + 1):
         t0 = time.monotonic()
@@ -222,6 +223,7 @@ def _rescatter_loop(
                 "superstep": superstep,
                 "wall_ms": (time.monotonic() - t0) * 1000,
                 "changed": changed,
+                **shufd.sample(),
             }
         )
         if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
@@ -255,6 +257,7 @@ def _frontier_loop(
     superstep = start_step - 1
     n_metrics_appended = len(metrics)
     n_pmetrics_appended = len(part_metrics)
+    shufd = ShuffleDelta(spark)
 
     # Seed cmap: one full scatter — the same O(E) exchange a single
     # rescatter superstep pays, paid once.
@@ -378,6 +381,7 @@ def _frontier_loop(
                 "superstep": superstep,
                 "wall_ms": (time.monotonic() - t0) * 1000,
                 "changed": changed,
+                **shufd.sample(),
             }
         )
         if ckpt is not None and (superstep % checkpoint_interval == 0 or changed == 0):
