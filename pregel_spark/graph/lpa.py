@@ -14,7 +14,7 @@ Two physical modes, identical results (property-tested):
   label — scatter join + ``groupBy(id,label).count`` + argmax. Two
   O(E)-sized exchanges per superstep regardless of how many labels
   still change.
-- ``frontier`` (default on the numeric path): carry a decremental
+- ``frontier``: carry a decremental
   neighbor-label count table ``cmap: map<label, n>`` INSIDE the vertex
   state, hash-partitioned by ``id`` and preserved across supersteps by
   ``localCheckpoint`` (see ``materialize``). The argmax is then
@@ -31,6 +31,20 @@ Two physical modes, identical results (property-tested):
   neighbors (degree-bounded early, ~1 at convergence); for
   pathological hubs (degree ~10^8) prefer ``mode='rescatter'``, whose
   count rows shard across partitions.
+
+Which mode wins is a measured question, not a stylistic one. The
+100M-edge A/B (BASELINE.md round 3; BENCH_SCALING_lpa_frontier.json vs
+BENCH_SCALING_lpa.json, identical input/protocol): this power-law graph
+converges in 5 supersteps, and frontier LOST end-to-end — loop 754s vs
+rescatter 401s at 8 cores, 430s vs 189s at 32 — because the one-time
+cmap seed plus the near-full early frontiers move ~9.8/5.6/3.3 GB in
+steps 1-3 (vs rescatter's flat per-step volume), while the cheap tail
+(step 4: 1.9 GB, step 5: 0 GB, ~0s) is only 2 supersteps long. Frontier
+pays O(E) up front to make LATE supersteps free, so it wins only when
+many low-churn supersteps remain after the crossover (long ``max_iter``
+label-oscillation regimes, incremental re-runs on slightly-changed
+inputs). ``auto`` therefore picks ``rescatter``; choose ``frontier``
+explicitly when the convergence profile has a long tail.
 """
 
 from __future__ import annotations
@@ -67,11 +81,11 @@ def label_propagation(
     byte-identical after mapping back.
 
     ``mode``: ``'rescatter'`` | ``'frontier'`` | ``'auto'`` (module
-    docstring). ``'auto'`` picks ``'frontier'`` on the numeric
-    struct-argmax path, else ``'rescatter'`` (the frontier argmax
-    needs numeric labels for the ``max(struct(n, -label))`` trick)."""
+    docstring). ``'auto'`` picks ``'rescatter'`` — the measured winner
+    end-to-end at 100M edges (frontier's O(E) cmap seed only amortizes
+    over a long low-churn tail; see the module docstring's A/B)."""
     if mode == "auto":
-        mode = "frontier" if (numeric_ids and argmax == "struct") else "rescatter"
+        mode = "rescatter"
     if mode == "frontier" and not numeric_ids:
         raise ValueError("mode='frontier' requires numeric_ids=True")
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
