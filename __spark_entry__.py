@@ -67,6 +67,37 @@ FROM customer
 WHERE c_custkey + 2 <= (SELECT max(c_custkey) FROM customer)
 """
 
+# weighted circulant over customers: multi-hop chains with varied
+# positive integer weights — the SSSP fixture (both engines derive it
+# from this same text; weights depend only on the source key, so the
+# DISTINCT-free union is deterministic per edge)
+W_EDGES_SQL = """
+SELECT 'c' || CAST(c_custkey AS STRING) AS src,
+       'c' || CAST(c_custkey + 1 AS STRING) AS dst,
+       CAST(c_custkey % 5 + 1 AS DOUBLE) AS weight
+FROM customer
+WHERE c_custkey + 1 <= (SELECT max(c_custkey) FROM customer)
+UNION ALL
+SELECT 'c' || CAST(c_custkey AS STRING) AS src,
+       'c' || CAST(c_custkey + 2 AS STRING) AS dst,
+       CAST(c_custkey % 7 + 2 AS DOUBLE) AS weight
+FROM customer
+WHERE c_custkey + 2 <= (SELECT max(c_custkey) FROM customer)
+"""
+
+# host-level rollup of the part-supplier link graph: page->host analog
+# ('p123' -> 'hp3'); shared text so both engines build identical groups
+HOST_EDGES_SQL = f"""
+SELECT 'h' || substring(src, 1, 1)
+           || CAST(CAST(substring(src, 2) AS BIGINT) % 20 AS STRING) AS src,
+       'h' || substring(dst, 1, 1)
+           || CAST(CAST(substring(dst, 2) AS BIGINT) % 20 AS STRING) AS dst,
+       CAST(sum(weight) AS DOUBLE) AS weight,
+       count(*) AS n_edges
+FROM ({EDGES_SQL}) be
+GROUP BY 1, 2
+"""
+
 _UE_CTE = """
 ue AS (
     SELECT src, dst FROM e0 WHERE src <> dst
@@ -98,6 +129,11 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tri_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     return spark.sql(TRI_EDGES_SQL)
+
+
+def _w_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(W_EDGES_SQL)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,6 +253,55 @@ def q_maxprop(spark, sf_dir):
     )
     res = max_propagation(spark, verts, edges)
     return res.vertices.select("id", "value")
+
+
+def q_hits_k5(spark, sf_dir):
+    from pregel_spark.graph import hits
+
+    res = hits(spark, _edges(spark, sf_dir), max_iter=5, pre_deduped=True)
+    return res.vertices.select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+def q_sssp_k8(spark, sf_dir):
+    from pregel_spark.graph import shortest_paths
+
+    # frontier Bellman-Ford == plain Bellman-Ford per round, so 8
+    # supersteps match the 8-round unrolled oracle exactly
+    res = shortest_paths(spark, _w_edges(spark, sf_dir), sources=["c0"], max_iter=8)
+    return res.vertices.filter(F.col("dist").isNotNull()).select(
+        "id", F.round("dist", 6).alias("dist")
+    )
+
+
+def _host_group(c):
+    return F.concat(
+        F.lit("h"),
+        F.substring(c, 1, 1),
+        (F.substring(c, 2, 30).cast("long") % 20).cast("string"),
+    )
+
+
+def q_host_graph(spark, sf_dir):
+    from pregel_spark.graph import contract_graph
+
+    return contract_graph(_edges(spark, sf_dir), group_fn=_host_group)
+
+
+def q_host_pagerank_k3(spark, sf_dir):
+    from pregel_spark.graph import contract_graph, pagerank
+
+    host = contract_graph(_edges(spark, sf_dir), group_fn=_host_group)
+    res = pagerank(spark, host, tol=0.0, max_iter=3, pre_deduped=True)
+    return res.vertices.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_kcore3_r4(spark, sf_dir):
+    from pregel_spark.graph import k_core
+
+    res = k_core(spark, _tri_edges(spark, sf_dir), k=3, max_rounds=4)
+    return res.vertices.select("id")
 
 
 # --------------------------- pipeline queries -------------------------
@@ -355,6 +440,82 @@ od AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src),
 r0 AS (SELECT id, 1.0 / nn AS rank FROM v CROSS JOIN n),{",".join(steps)}
 SELECT id, round(rank, 6) AS rank FROM r{k}
 """
+def _hits_unrolled_sql(k: int, edges_sql: str) -> str:
+    """k HITS iterations (h0 = 1; a <- A^T h / ||.||2,
+    h <- A A^T h / ||.||2 — the inner norm cancels, matching
+    graph/hits.py's single-lineage superstep) as unrolled CTEs."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+ar{i} AS (SELECT e.dst AS id, sum(h{i}.h) AS ar
+          FROM e JOIN h{i} ON h{i}.id = e.src GROUP BY e.dst),
+af{i} AS (SELECT v.id, COALESCE(ar{i}.ar, CAST(0.0 AS DOUBLE)) AS ar
+          FROM v LEFT JOIN ar{i} ON ar{i}.id = v.id),
+hr{i} AS (SELECT e.src AS id, sum(af.ar) AS hr
+          FROM e JOIN af{i} af ON af.id = e.dst GROUP BY e.src),
+hf{i} AS (SELECT v.id, COALESCE(hr{i}.hr, CAST(0.0 AS DOUBLE)) AS hr
+          FROM v LEFT JOIN hr{i} ON hr{i}.id = v.id),
+na{i} AS (SELECT sqrt(sum(ar * ar)) AS na FROM af{i}),
+nh{i} AS (SELECT sqrt(sum(hr * hr)) AS nh FROM hf{i}),
+a{i + 1} AS (SELECT id, CASE WHEN na > 0 THEN ar / na
+                             ELSE CAST(0.0 AS DOUBLE) END AS a
+             FROM af{i} CROSS JOIN na{i}),
+h{i + 1} AS (SELECT id, CASE WHEN nh > 0 THEN hr / nh
+                             ELSE CAST(0.0 AS DOUBLE) END AS h
+             FROM hf{i} CROSS JOIN nh{i})""")
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM v),{",".join(steps)}
+SELECT a{k}.id, round(a{k}.a, 6) AS auth, round(h{k}.h, 6) AS hub
+FROM a{k} JOIN h{k} ON h{k}.id = a{k}.id
+"""
+
+
+def _sssp_unrolled_sql(k: int, edges_sql: str, source: str) -> str:
+    """k Bellman-Ford relaxation rounds from ``source`` (min-plus over
+    all edges each round == graph/sssp.py's frontier variant after the
+    same number of supersteps); unreached rows are dropped."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+m{i} AS (SELECT e0.dst AS id, min(d{i}.dist + e0.weight) AS md
+         FROM e0 JOIN d{i} ON d{i}.id = e0.src
+         WHERE d{i}.dist IS NOT NULL GROUP BY e0.dst),
+d{i + 1} AS (SELECT d.id,
+                    CASE WHEN d.dist IS NULL THEN m.md
+                         WHEN m.md IS NULL THEN d.dist
+                         ELSE least(d.dist, m.md) END AS dist
+             FROM d{i} d LEFT JOIN m{i} m ON m.id = d.id)""")
+    return f"""
+WITH e0 AS ({edges_sql}),
+v AS (SELECT src AS id FROM e0 UNION SELECT dst AS id FROM e0),
+d0 AS (SELECT id, CASE WHEN id = '{source}'
+                       THEN CAST(0.0 AS DOUBLE) END AS dist FROM v),{",".join(steps)}
+SELECT id, round(dist, 6) AS dist FROM d{k} WHERE dist IS NOT NULL
+"""
+
+
+def _kcore_unrolled_sql(k: int, rounds: int, edges_sql: str) -> str:
+    """``rounds`` peel iterations at threshold ``k`` over the
+    symmetrized graph (graph/kcore.py with max_rounds=rounds)."""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+d{i + 1} AS (SELECT ue.src AS id, count(*) AS c
+             FROM ue JOIN v{i} a ON a.id = ue.src
+                     JOIN v{i} b ON b.id = ue.dst
+             GROUP BY ue.src),
+v{i + 1} AS (SELECT id FROM d{i + 1} WHERE c >= {k})""")
+    return f"""
+WITH e0 AS ({edges_sql}),
+{_UE_CTE},
+v0 AS (SELECT src AS id FROM ue UNION SELECT dst AS id FROM ue),{",".join(steps)}
+SELECT id FROM v{rounds}
+"""
+
+
 # All reproduce Spark-side operators bit-exactly because those operators
 # hash with the engine-portable 60-bit md5 hash (pipeline/hashing.py).
 
@@ -582,6 +743,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_per_vertex": q_triangle_per_vertex,
         "lpa_k2": q_lpa_k2,
         "maxprop": q_maxprop,
+        "hits_k5": q_hits_k5,
+        "sssp_k8": q_sssp_k8,
+        "host_graph": q_host_graph,
+        "host_pagerank_k3": q_host_pagerank_k3,
+        "kcore3_r4": q_kcore3_r4,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -701,6 +867,11 @@ mx AS (SELECT c.component, max(vals.value) AS mv
        FROM comp c JOIN vals ON vals.id = c.id GROUP BY c.component)
 SELECT c.id, mx.mv AS value FROM comp c JOIN mx ON mx.component = c.component
 """,
+        "hits_k5": _hits_unrolled_sql(5, EDGES_SQL),
+        "sssp_k8": _sssp_unrolled_sql(8, W_EDGES_SQL, "c0"),
+        "host_graph": HOST_EDGES_SQL,
+        "host_pagerank_k3": _pagerank_unrolled_sql(3, HOST_EDGES_SQL),
+        "kcore3_r4": _kcore_unrolled_sql(3, 4, TRI_EDGES_SQL),
         "dedup_exact": """
 SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
 FROM documents GROUP BY md5(text)

@@ -1,12 +1,15 @@
 """Graph layer: edge materialization, BSP engine, algorithms."""
 
-from .build import adjacency, degrees, edges_from_pages, undirect
+from .build import adjacency, contract_graph, degrees, edges_from_pages, undirect
 from .engine import Pregel, PregelResult
 from .pagerank import pagerank
 from .components import connected_components, connected_components_star
 from .lpa import label_propagation
 from .triangles import triangle_count, triangle_count_per_vertex
 from .maxprop import max_propagation
+from .hits import hits
+from .sssp import shortest_paths
+from .kcore import k_core
 from .mutations import (
     add_edges,
     add_vertices,
@@ -22,6 +25,7 @@ __all__ = [
     "delete_edges",
     "delete_vertices",
     "adjacency",
+    "contract_graph",
     "degrees",
     "edges_from_pages",
     "undirect",
@@ -34,4 +38,7 @@ __all__ = [
     "triangle_count",
     "triangle_count_per_vertex",
     "max_propagation",
+    "hits",
+    "shortest_paths",
+    "k_core",
 ]

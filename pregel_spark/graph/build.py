@@ -171,3 +171,58 @@ def adjacency(edges: DataFrame) -> DataFrame:
         F.collect_list("weight").alias("weights"),
         F.count(F.lit(1)).alias("deg"),
     )
+
+
+def contract_graph(
+    edges: DataFrame,
+    group_fn=None,
+    mapping: DataFrame | None = None,
+    drop_loops: bool = False,
+) -> DataFrame:
+    """Coarsen the graph by a vertex->group mapping: the host/domain
+    rollup of a web link graph (page edges -> host edges), and the
+    coarsening step of multi-level partitioners. Returns
+    (src, dst, weight, n_edges) at group granularity — ``weight`` sums
+    the member-edge weights, ``n_edges`` counts them.
+
+    Two mapping forms, in increasing cost:
+    - ``group_fn``: a Column function applied to each endpoint id
+      (e.g. extract the registered domain from a url). ZERO joins —
+      one projection + one aggregation shuffle on the group keys;
+      this is the 100 TB path when the group is derivable from the id
+      (hosts from urls always are).
+    - ``mapping``: an (id, group) DataFrame for mappings that need a
+      table (e.g. a learned clustering). Two hash joins (src then
+      dst) before the aggregation; broadcast it yourself with
+      ``F.broadcast`` if it is small.
+
+    ``drop_loops`` removes intra-group edges (host self-links), which
+    usually dominate a web rollup and are noise for inter-host
+    analytics.
+    """
+    if (group_fn is None) == (mapping is None):
+        raise ValueError("pass exactly one of group_fn / mapping")
+    if group_fn is not None:
+        g = edges.select(
+            group_fn(F.col("src")).alias("gsrc"),
+            group_fn(F.col("dst")).alias("gdst"),
+            "weight",
+        )
+    else:
+        g = (
+            edges.join(
+                mapping.select(F.col("id").alias("src"), F.col("group").alias("gsrc")),
+                "src",
+            )
+            .join(
+                mapping.select(F.col("id").alias("dst"), F.col("group").alias("gdst")),
+                "dst",
+            )
+            .select("gsrc", "gdst", "weight")
+        )
+    if drop_loops:
+        g = g.filter(F.col("gsrc") != F.col("gdst"))
+    return g.groupBy(F.col("gsrc").alias("src"), F.col("gdst").alias("dst")).agg(
+        F.sum("weight").alias("weight"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )

@@ -1,0 +1,176 @@
+"""HITS (Kleinberg hubs & authorities): second native-expression
+eigenvector kernel beside PageRank.
+
+The reference ships PageRank as its worked example
+(``examples/pagerank.lua``); HITS exercises the same BSP machinery
+with the one structural twist PageRank lacks — each superstep sends
+messages along BOTH edge directions (authority gather over in-edges,
+hub gather over out-edges), i.e. the reference's scatter would need
+the transpose adjacency. Spark-first mapping:
+
+- the static link table is persisted TWICE, hash-partitioned on
+  ``src`` and on ``dst`` (``links`` / ``links_rev``) — 2x storage for
+  zero per-superstep re-exchange of the O(E) side in either join (the
+  same load-bearing-repartition argument as pagerank.py, measured
+  there as ~27% loop cost when dropped);
+- per superstep both gathers run UNNORMALIZED back to back —
+  ``hub_raw = A (Aᵀ h)`` — because the L2 normalizer of the inner
+  result cancels algebraically in the outer normalization
+  (``A (a/‖a‖) / ‖A (a/‖a‖)‖ = A a / ‖A a‖``); this folds the
+  classic four-phase iteration into ONE lineage with a single
+  materialization barrier and one tiny norm/convergence action;
+- norms and ``max |Δ|`` convergence ride one driver action over the
+  checkpointed O(V) state, exactly like PageRank's dangling-mass
+  aggregator (A3).
+
+Semantics (matching the unrolled DuckDB oracle ``hits_k5`` and the
+NumPy oracle in tests): h₀ = 1; per iteration
+``a ← Aᵀ h / ‖Aᵀ h‖₂``, ``h ← A Aᵀ h / ‖A Aᵀ h‖₂``; vertices with no
+in-edges have authority 0, no out-edges hub 0; a zero norm (empty
+side) yields all-zeros rather than NaN.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .build import vertices_from_edges
+from .engine import PregelResult, StepMaterializer, bsp_loop_confs, materialize
+
+
+def hits(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 20,
+    tol: float = 0.0,
+    num_partitions: int | None = None,
+    pre_deduped: bool = False,
+    run_id: str | None = None,
+) -> PregelResult:
+    """Run HITS for ``max_iter`` supersteps (or to ``max |Δauth|,
+    |Δhub| < tol`` when ``tol > 0``). Returns (id, auth, hub).
+
+    Parallel edges collapse (standard link-graph semantics); callers
+    with an already-distinct edge table pass ``pre_deduped=True`` to
+    skip that one-time O(E) shuffle.
+    """
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    dedup = edges.select("src", "dst")
+    if not pre_deduped:
+        dedup = dedup.distinct()
+    links = dedup.repartition(n_part, "src").persist()
+    links_rev = dedup.repartition(n_part, "dst").persist()
+    links.count()
+    links_rev.count()
+
+    verts = vertices_from_edges(dedup)
+    n = verts.count()
+    if n == 0:
+        empty = edges.select("src").limit(0).select(
+            F.col("src").alias("id"),
+            F.lit(0.0).alias("auth"),
+            F.lit(0.0).alias("hub"),
+        )
+        return PregelResult(
+            vertices=empty, supersteps=0, converged=True, metrics=[], run_id=run_id
+        )
+
+    state = materialize(
+        verts.select(
+            "id", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub")
+        ).repartition(n_part, "id")
+    )
+    stepm = StepMaterializer()
+    stepm.advance(state, superstep=1, persisted=False)
+
+    metrics: list[dict] = []
+    converged = False
+    superstep = 0
+    with bsp_loop_confs(spark):
+        for superstep in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            # inner gather: authority_raw = A^T h (messages over in-edges)
+            ar = (
+                links.join(
+                    state.select(F.col("id").alias("src"), "hub"), "src"
+                )
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("ar"))
+            )
+            with_ar = state.join(
+                ar.withColumnRenamed("dst", "id"), "id", "left_outer"
+            ).select(
+                "id", "auth", "hub", F.coalesce("ar", F.lit(0.0)).alias("ar")
+            )
+            # outer gather feeds the UNNORMALIZED ar back out along
+            # out-edges: hub_raw = A (A^T h); the inner norm cancels
+            hr = (
+                links_rev.join(
+                    with_ar.select(F.col("id").alias("dst"), "ar"), "dst"
+                )
+                .groupBy("src")
+                .agg(F.sum("ar").alias("hr"))
+            )
+            nxt = stepm.step(
+                with_ar.join(hr.withColumnRenamed("src", "id"), "id", "left_outer")
+                .select(
+                    "id",
+                    "auth",
+                    "hub",
+                    "ar",
+                    F.coalesce("hr", F.lit(0.0)).alias("hr"),
+                ),
+                superstep,
+            )
+            # one tiny pass for the two L2 norms, then one for the
+            # convergence deltas (both scans of the checkpointed O(V)
+            # state — the norms must exist before the deltas do)
+            row = nxt.agg(
+                F.sqrt(F.sum(F.col("ar") * F.col("ar"))).alias("na"),
+                F.sqrt(F.sum(F.col("hr") * F.col("hr"))).alias("nh"),
+            ).collect()[0]
+            na = row["na"] or 0.0
+            nh = row["nh"] or 0.0
+            new_auth = (F.col("ar") / na if na > 0 else F.lit(0.0)).alias("auth")
+            new_hub = (F.col("hr") / nh if nh > 0 else F.lit(0.0)).alias("hub")
+            if tol > 0:
+                drow = nxt.agg(
+                    F.max(
+                        F.greatest(
+                            F.abs(new_auth - F.col("auth")),
+                            F.abs(new_hub - F.col("hub")),
+                        )
+                    ).alias("d")
+                ).collect()[0]
+                max_delta = drow["d"] or 0.0
+            else:
+                max_delta = float("nan")
+            stepm.advance(nxt, superstep)
+            state = nxt.select("id", new_auth, new_hub)
+            metrics.append(
+                {
+                    "run_id": run_id,
+                    "superstep": superstep,
+                    "wall_ms": (time.monotonic() - t0) * 1000,
+                    "delta_max": max_delta,
+                }
+            )
+            if tol > 0 and max_delta < tol:
+                converged = True
+                break
+
+    out = materialize(state)
+    links.unpersist()
+    links_rev.unpersist()
+    return PregelResult(
+        vertices=out,
+        supersteps=superstep,
+        converged=converged,
+        metrics=metrics,
+        run_id=run_id,
+    )

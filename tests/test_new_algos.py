@@ -1,0 +1,260 @@
+"""HITS / SSSP / k-core / contract_graph vs naive oracles."""
+
+from __future__ import annotations
+
+import heapq
+from collections import defaultdict
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pregel_spark.graph import contract_graph, hits, k_core, shortest_paths
+
+from tests.conftest import edges_df
+from tests.graphs import CLIQUE_BRIDGE, TOY7
+
+# --------------------------- oracles ---------------------------------
+
+
+def hits_oracle(pairs, k):
+    """a <- A^T h / ||.||, h <- A A^T h / ||.|| from h0 = 1."""
+    nodes = sorted({x for e in pairs for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, t in set(pairs):
+        A[idx[s], idx[t]] = 1.0
+    h = np.ones(len(nodes))
+    a = np.ones(len(nodes))
+    for _ in range(k):
+        ar = A.T @ h
+        hr = A @ ar
+        na, nh = np.linalg.norm(ar), np.linalg.norm(hr)
+        a = ar / na if na > 0 else np.zeros_like(ar)
+        h = hr / nh if nh > 0 else np.zeros_like(hr)
+    return {v: (a[idx[v]], h[idx[v]]) for v in nodes}
+
+
+def dijkstra_oracle(wpairs, sources):
+    """{id: dist} over reachable vertices; wpairs = [(s, t, w), ...]."""
+    adj = defaultdict(list)
+    nodes = set(sources)
+    for s, t, w in wpairs:
+        adj[s].append((t, w))
+        nodes.add(s)
+        nodes.add(t)
+    dist = {s: 0.0 for s in sources}
+    pq = [(0.0, s) for s in sources]
+    heapq.heapify(pq)
+    while pq:
+        d, v = heapq.heappop(pq)
+        if d > dist.get(v, float("inf")):
+            continue
+        for t, w in adj[v]:
+            nd = d + w
+            if nd < dist.get(t, float("inf")):
+                dist[t] = nd
+                heapq.heappush(pq, (nd, t))
+    return dist
+
+
+def kcore_oracle(pairs, k, max_rounds=None):
+    """Peel; returns the surviving vertex set."""
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    alive = set(nbrs)
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
+        keep = {v for v in alive if len(nbrs[v] & alive) >= k}
+        if keep == alive:
+            break
+        alive = keep
+        if not alive:
+            break
+    return alive
+
+
+# --------------------------- HITS -------------------------------------
+
+
+def test_hits_vs_numpy_toy(spark):
+    res = hits(spark, edges_df(spark, TOY7), max_iter=6)
+    got = {r["id"]: (r["auth"], r["hub"]) for r in res.vertices.collect()}
+    want = hits_oracle(TOY7, 6)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == pytest.approx(want[v][0], abs=1e-9)
+        assert got[v][1] == pytest.approx(want[v][1], abs=1e-9)
+    assert res.supersteps == 6
+
+
+def test_hits_single_edge_and_convergence(spark):
+    # a -> b: b is the only authority, a the only hub, norm 1 each
+    res = hits(spark, edges_df(spark, [("a", "b")]), max_iter=3, tol=1e-12)
+    got = {r["id"]: (r["auth"], r["hub"]) for r in res.vertices.collect()}
+    assert got["b"][0] == pytest.approx(1.0)
+    assert got["a"][1] == pytest.approx(1.0)
+    assert got["a"][0] == 0.0 and got["b"][1] == 0.0
+    assert res.converged  # fixpoint after the first superstep
+
+
+def test_hits_random_digraph(spark):
+    rng = np.random.default_rng(7)
+    pairs = sorted(
+        {
+            (f"n{a}", f"n{b}")
+            for a, b in rng.integers(0, 40, size=(300, 2))
+            if a != b
+        }
+    )
+    res = hits(spark, edges_df(spark, pairs), max_iter=4)
+    got = {r["id"]: (r["auth"], r["hub"]) for r in res.vertices.collect()}
+    want = hits_oracle(pairs, 4)
+    for v in want:
+        assert got[v][0] == pytest.approx(want[v][0], abs=1e-9)
+        assert got[v][1] == pytest.approx(want[v][1], abs=1e-9)
+
+
+# --------------------------- SSSP --------------------------------------
+
+
+def wedges_df(spark, wpairs):
+    return spark.createDataFrame(
+        [(s, t, float(w)) for s, t, w in wpairs],
+        "src string, dst string, weight double",
+    )
+
+
+def test_sssp_vs_dijkstra_random(spark):
+    rng = np.random.default_rng(11)
+    wpairs = sorted(
+        {
+            (f"n{a}", f"n{b}", int(w))
+            for a, b, w in zip(
+                rng.integers(0, 60, 400),
+                rng.integers(0, 60, 400),
+                rng.integers(1, 9, 400),
+            )
+            if a != b
+        }
+    )
+    res = shortest_paths(spark, wedges_df(spark, wpairs), sources=["n0", "n7"])
+    got = {r["id"]: r["dist"] for r in res.vertices.collect()}
+    want = dijkstra_oracle(wpairs, ["n0", "n7"])
+    assert res.converged
+    reached = {v: d for v, d in got.items() if d is not None}
+    assert reached == pytest.approx(want)
+    # unreachable vertices are present with NULL
+    assert set(got) >= set(want)
+
+
+def test_sssp_parallel_edges_take_min(spark):
+    wpairs = [("a", "b", 5.0), ("a", "b", 2.0), ("b", "c", 1.0)]
+    res = shortest_paths(spark, wedges_df(spark, wpairs), sources=["a"])
+    got = {r["id"]: r["dist"] for r in res.vertices.collect()}
+    assert got == {"a": 0.0, "b": 2.0, "c": 3.0}
+
+
+def test_sssp_undirected_and_foreign_source(spark):
+    wpairs = [("a", "b", 1.0), ("c", "b", 1.0)]
+    res = shortest_paths(
+        spark, wedges_df(spark, wpairs), sources=["c", "zz"], directed=False
+    )
+    got = {r["id"]: r["dist"] for r in res.vertices.collect()}
+    # undirected: c->b->a reachable; zz is reported as its own island
+    assert got == {"a": 2.0, "b": 1.0, "c": 0.0, "zz": 0.0}
+
+
+def test_sssp_rejects_negative_weights(spark):
+    with pytest.raises(ValueError):
+        shortest_paths(spark, wedges_df(spark, [("a", "b", -1.0)]), sources=["a"])
+
+
+def test_sssp_fixed_rounds_prefix(spark):
+    # chain 0->1->2->...->9; after 3 rounds only dist<=3 is final
+    wpairs = [(f"c{i}", f"c{i+1}", 1.0) for i in range(9)]
+    res = shortest_paths(spark, wedges_df(spark, wpairs), sources=["c0"], max_iter=3)
+    got = {r["id"]: r["dist"] for r in res.vertices.collect() if r["dist"] is not None}
+    assert got == {"c0": 0.0, "c1": 1.0, "c2": 2.0, "c3": 3.0}
+    assert not res.converged
+
+
+# --------------------------- k-core ------------------------------------
+
+
+def test_kcore_clique_bridge(spark):
+    e = edges_df(spark, CLIQUE_BRIDGE)
+    # k=4: only the K5 survives (bridge vertex v0 has in-K5 degree 4)
+    got4 = {r["id"] for r in k_core(spark, e, k=4).vertices.collect()}
+    assert got4 == kcore_oracle(CLIQUE_BRIDGE, 4) == {f"v{i}" for i in range(5)}
+    # k=3: both cliques survive, k=6: nothing
+    got3 = {r["id"] for r in k_core(spark, e, k=3).vertices.collect()}
+    assert got3 == kcore_oracle(CLIQUE_BRIDGE, 3)
+    res6 = k_core(spark, e, k=6)
+    assert res6.vertices.count() == 0 and res6.converged
+
+
+def test_kcore_bounded_rounds_match_oracle(spark):
+    # path graph peels one layer per round at k=2 -> bounded != converged
+    pairs = [(f"p{i}", f"p{i+1}") for i in range(10)]
+    e = edges_df(spark, pairs)
+    got = {r["id"] for r in k_core(spark, e, k=2, max_rounds=2).vertices.collect()}
+    assert got == kcore_oracle(pairs, 2, max_rounds=2)
+    full = {r["id"] for r in k_core(spark, e, k=2).vertices.collect()}
+    assert full == kcore_oracle(pairs, 2) == set()
+
+
+def test_kcore_random_vs_oracle(spark):
+    rng = np.random.default_rng(3)
+    pairs = sorted(
+        {
+            (f"n{a}", f"n{b}")
+            for a, b in rng.integers(0, 50, size=(200, 2))
+            if a != b
+        }
+    )
+    for k in (2, 3):
+        got = {
+            r["id"] for r in k_core(spark, edges_df(spark, pairs), k=k).vertices.collect()
+        }
+        assert got == kcore_oracle(pairs, k)
+
+
+def test_kcore_rejects_k0(spark):
+    with pytest.raises(ValueError):
+        k_core(spark, edges_df(spark, TOY7), k=0)
+
+
+# --------------------------- contract_graph ----------------------------
+
+
+def test_contract_graph_expr_and_mapping_agree(spark):
+    e = edges_df(spark, TOY7)  # ids are single letters
+    grp = lambda c: F.when(c.isin("a", "b", "c"), "g1").otherwise("g2")  # noqa: E731
+    by_expr = contract_graph(e, group_fn=grp)
+    ids = sorted({x for p in TOY7 for x in p})
+    mapping = spark.createDataFrame(
+        [(v, "g1" if v in ("a", "b", "c") else "g2") for v in ids],
+        "id string, group string",
+    )
+    by_map = contract_graph(e, mapping=mapping)
+    rows_e = {(r["src"], r["dst"]): (r["weight"], r["n_edges"]) for r in by_expr.collect()}
+    rows_m = {(r["src"], r["dst"]): (r["weight"], r["n_edges"]) for r in by_map.collect()}
+    assert rows_e == rows_m
+    # hand-check: g1 internal = ab, bc, ca -> 3 edges; g1->g2 = cd, ad
+    assert rows_e[("g1", "g1")] == (3.0, 3)
+    assert rows_e[("g1", "g2")] == (2.0, 2)
+
+
+def test_contract_graph_drop_loops_and_arg_check(spark):
+    e = edges_df(spark, TOY7)
+    grp = lambda c: F.lit("all")  # noqa: E731
+    assert contract_graph(e, group_fn=grp, drop_loops=True).count() == 0
+    with pytest.raises(ValueError):
+        contract_graph(e)
+    with pytest.raises(ValueError):
+        contract_graph(e, group_fn=grp, mapping=e.select(F.col("src").alias("id")))
