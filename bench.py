@@ -24,7 +24,8 @@ from pregel_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-HEADLINE = [
+# the round-1/round-2 headline set: cross-round totals compare on this
+R2_COMPARABLE = [
     "edges_build",
     "degrees",
     "pagerank_full",
@@ -39,6 +40,15 @@ HEADLINE = [
     "simsearch_topk",
     "pricing_summary",
     "events_hourly",
+]
+
+# round-3 additions (HITS / SSSP / k-core / host-rollup PageRank);
+# "value" sums everything, "r2_comparable_sec" isolates the old set
+HEADLINE = R2_COMPARABLE + [
+    "hits_k5",
+    "sssp_k8",
+    "kcore3_r4",
+    "host_pagerank_k3",
 ]
 
 
@@ -84,12 +94,14 @@ def main():
     extra["n_edges"] = n_edges
 
     total = round(sum(timings.values()), 3)
+    r2_comparable = round(sum(timings[q] for q in R2_COMPARABLE), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "r2_comparable_sec": r2_comparable,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pagerank": extra,

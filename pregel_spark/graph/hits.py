@@ -38,7 +38,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .build import vertices_from_edges
-from .engine import PregelResult, StepMaterializer, bsp_loop_confs, materialize
+from .engine import (
+    PregelResult,
+    ShuffleDelta,
+    StepMaterializer,
+    bsp_loop_confs,
+    materialize,
+)
 
 
 def hits(
@@ -63,12 +69,14 @@ def hits(
     dedup = edges.select("src", "dst")
     if not pre_deduped:
         dedup = dedup.distinct()
+    # the reverse copy and the vertex set both read the persisted
+    # links, not the source derivation — one upstream scan total
     links = dedup.repartition(n_part, "src").persist()
-    links_rev = dedup.repartition(n_part, "dst").persist()
     links.count()
+    links_rev = links.repartition(n_part, "dst").persist()
     links_rev.count()
 
-    verts = vertices_from_edges(dedup)
+    verts = vertices_from_edges(links)
     n = verts.count()
     if n == 0:
         empty = edges.select("src").limit(0).select(
@@ -91,6 +99,7 @@ def hits(
     metrics: list[dict] = []
     converged = False
     superstep = 0
+    shufd = ShuffleDelta(spark)
     with bsp_loop_confs(spark):
         for superstep in range(1, max_iter + 1):
             t0 = time.monotonic()
@@ -102,10 +111,15 @@ def hits(
                 .groupBy("dst")
                 .agg(F.sum("hub").alias("ar"))
             )
-            with_ar = state.join(
-                ar.withColumnRenamed("dst", "id"), "id", "left_outer"
-            ).select(
-                "id", "auth", "hub", F.coalesce("ar", F.lit(0.0)).alias("ar")
+            # materialized: the hub gather below references with_ar a
+            # second time — without the cut the authority join+agg
+            # would execute twice per superstep
+            with_ar = materialize(
+                state.join(
+                    ar.withColumnRenamed("dst", "id"), "id", "left_outer"
+                ).select(
+                    "id", "auth", "hub", F.coalesce("ar", F.lit(0.0)).alias("ar")
+                )
             )
             # outer gather feeds the UNNORMALIZED ar back out along
             # out-edges: hub_raw = A (A^T h); the inner norm cancels
@@ -158,6 +172,7 @@ def hits(
                     "superstep": superstep,
                     "wall_ms": (time.monotonic() - t0) * 1000,
                     "delta_max": max_delta,
+                    **shufd.sample(),
                 }
             )
             if tol > 0 and max_delta < tol:

@@ -42,7 +42,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .build import undirect, vertices_from_edges
-from .engine import PregelResult, StepMaterializer, bsp_loop_confs, materialize
+from .engine import (
+    PregelResult,
+    ShuffleDelta,
+    StepMaterializer,
+    bsp_loop_confs,
+    materialize,
+)
 
 
 def k_core(
@@ -78,6 +84,7 @@ def k_core(
     metrics: list[dict] = []
     converged = False
     rounds = 0
+    shufd = ShuffleDelta(spark)
     with bsp_loop_confs(spark):
         while rounds < limit and n_alive > 0:
             rounds += 1
@@ -105,6 +112,7 @@ def k_core(
                     "superstep": rounds,
                     "wall_ms": (time.monotonic() - t0) * 1000,
                     "survivors": n_next,
+                    **shufd.sample(),
                 }
             )
             if n_next == n_alive:

@@ -33,7 +33,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .build import vertices_from_edges
-from .engine import PregelResult, StepMaterializer, bsp_loop_confs, materialize
+from .engine import (
+    PregelResult,
+    ShuffleDelta,
+    StepMaterializer,
+    bsp_loop_confs,
+    materialize,
+)
 
 
 def shortest_paths(
@@ -66,10 +72,12 @@ def shortest_paths(
                 "weight",
             )
         )
-    if e.filter(F.col("weight") < 0).limit(1).count() > 0:
-        raise ValueError("shortest_paths requires non-negative edge weights")
     links = e.repartition(n_part, "src").persist()
     links.count()
+    # validated on the persisted table — no second upstream scan
+    if links.filter(F.col("weight") < 0).limit(1).count() > 0:
+        links.unpersist()
+        raise ValueError("shortest_paths requires non-negative edge weights")
 
     verts = vertices_from_edges(links)
     if isinstance(sources, DataFrame):
@@ -95,6 +103,7 @@ def shortest_paths(
     metrics: list[dict] = []
     converged = n_frontier == 0
     superstep = 0
+    shufd = ShuffleDelta(spark)
     with bsp_loop_confs(spark):
         for superstep in range(1, max_iter + 1):
             if converged:
@@ -139,6 +148,7 @@ def shortest_paths(
                     "superstep": superstep,
                     "wall_ms": (time.monotonic() - t0) * 1000,
                     "frontier": n_frontier,
+                    **shufd.sample(),
                 }
             )
             if n_frontier == 0:

@@ -4,7 +4,7 @@ line. The BASELINE.md protocol (taskset pinning, fixed work, shared
 partition count, ample heap) is owned by scripts/bench_scaling.py.
 
 Usage: python scripts/algo_bench_worker.py <algo> <cpus> <sf_dir>
-       algo in {pagerank, cc_star, lpa}
+       algo in {pagerank, cc_star, lpa, sssp, hits}
 """
 
 from __future__ import annotations
@@ -70,6 +70,21 @@ def main():
             spark, edges, max_iter=max_iter,
             mode=os.environ.get("LPA_MODE", "auto"),
         )
+        res.vertices.write.format("noop").mode("overwrite").save()
+    elif algo == "sssp":
+        # deterministic source: the minimum vertex id; unit weights ->
+        # BFS wave over the power-law graph (frontier grows then dies)
+        from pyspark.sql import functions as F
+
+        from pregel_spark.graph import shortest_paths
+
+        src0 = edges.agg(F.min("src").alias("m")).collect()[0]["m"]
+        res = shortest_paths(spark, edges, sources=[src0], max_iter=max_iter)
+        res.vertices.write.format("noop").mode("overwrite").save()
+    elif algo == "hits":
+        from pregel_spark.graph import hits
+
+        res = hits(spark, edges, max_iter=max_iter, pre_deduped=True)
         res.vertices.write.format("noop").mode("overwrite").save()
     else:
         raise SystemExit(f"unknown algo {algo}")
