@@ -37,6 +37,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..tableio import CheckpointManager
 from .build import vertices_from_edges
 from .engine import (
     PregelResult,
@@ -55,6 +56,9 @@ def hits(
     num_partitions: int | None = None,
     pre_deduped: bool = False,
     run_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 10,
+    resume: bool = False,
 ) -> PregelResult:
     """Run HITS for ``max_iter`` supersteps (or to ``max |Δauth|,
     |Δhub| < tol`` when ``tol > 0``). Returns (id, auth, hub).
@@ -65,6 +69,7 @@ def hits(
     """
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
 
     dedup = edges.select("src", "dst")
     if not pre_deduped:
@@ -96,12 +101,21 @@ def hits(
     stepm = StepMaterializer()
     stepm.advance(state, superstep=1, persisted=False)
 
-    metrics: list[dict] = []
+    start_step, metrics = 1, []
+    n_metrics_appended = 0
+    if resume and ckpt is not None:
+        latest = ckpt.latest()
+        if latest is not None:
+            st, _, _meta = ckpt.load(spark, latest)
+            state = materialize(st.repartition(n_part, "id"))
+            stepm.advance(state, superstep=latest, persisted=False)
+            start_step = latest + 1
+
     converged = False
-    superstep = 0
+    superstep = start_step - 1
     shufd = ShuffleDelta(spark)
     with bsp_loop_confs(spark):
-        for superstep in range(1, max_iter + 1):
+        for superstep in range(start_step, max_iter + 1):
             t0 = time.monotonic()
             # inner gather: authority_raw = A^T h (messages over in-edges)
             ar = (
@@ -175,7 +189,15 @@ def hits(
                     **shufd.sample(),
                 }
             )
-            if tol > 0 and max_delta < tol:
+            done = tol > 0 and max_delta < tol
+            if ckpt is not None and (
+                superstep % checkpoint_interval == 0 or done or superstep == max_iter
+            ):
+                # normalized state (the loop-carried table), not the raw sums
+                ckpt.save(superstep, state.select("id", "auth", "hub"), meta={})
+                ckpt.append_metrics(spark, metrics[n_metrics_appended:])
+                n_metrics_appended = len(metrics)
+            if done:
                 converged = True
                 break
 

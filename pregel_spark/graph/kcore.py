@@ -41,6 +41,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..tableio import CheckpointManager
 from .build import undirect, vertices_from_edges
 from .engine import (
     PregelResult,
@@ -58,6 +59,9 @@ def k_core(
     max_rounds: int | None = None,
     num_partitions: int | None = None,
     run_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 10,
+    resume: bool = False,
 ) -> PregelResult:
     """Vertices of the k-core (undirected degree >= k after peeling to
     fixpoint, or after exactly ``max_rounds`` peels). Returns (id,).
@@ -71,6 +75,7 @@ def k_core(
         raise ValueError("k_core requires k >= 1")
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
     limit = max_rounds if max_rounds is not None else 1_000_000_000
 
     ue = undirect(edges).select("src", "dst").repartition(n_part, "src").persist()
@@ -82,8 +87,17 @@ def k_core(
     stepm.advance(alive, superstep=1, persisted=False)
 
     metrics: list[dict] = []
+    n_metrics_appended = 0
     converged = False
     rounds = 0
+    if resume and ckpt is not None:
+        latest = ckpt.latest()
+        if latest is not None:
+            st, _, meta = ckpt.load(spark, latest)
+            alive = materialize(st.repartition(n_part, "id"))
+            stepm.advance(alive, superstep=latest, persisted=False)
+            n_alive = meta["survivors"]
+            rounds = latest
     shufd = ShuffleDelta(spark)
     with bsp_loop_confs(spark):
         while rounds < limit and n_alive > 0:
@@ -115,6 +129,13 @@ def k_core(
                     **shufd.sample(),
                 }
             )
+            done = n_next in (n_alive, 0)
+            if ckpt is not None and (
+                rounds % checkpoint_interval == 0 or done or rounds >= limit
+            ):
+                ckpt.save(rounds, alive, meta={"survivors": n_next})
+                ckpt.append_metrics(spark, metrics[n_metrics_appended:])
+                n_metrics_appended = len(metrics)
             if n_next == n_alive:
                 converged = True
                 n_alive = n_next

@@ -32,6 +32,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..tableio import CheckpointManager
 from .build import vertices_from_edges
 from .engine import (
     PregelResult,
@@ -50,6 +51,10 @@ def shortest_paths(
     num_partitions: int | None = None,
     directed: bool = True,
     run_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 10,
+    resume: bool = False,
+    partition_metrics: bool | None = None,
 ) -> PregelResult:
     """Weighted shortest distances from a source set. Returns
     (id, dist) over ALL vertices; ``dist`` is NULL where unreachable.
@@ -62,6 +67,9 @@ def shortest_paths(
     """
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
+    if partition_metrics is None:
+        partition_metrics = ckpt is not None  # see pagerank.py rationale
 
     e = edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
     if not directed:
@@ -100,12 +108,24 @@ def shortest_paths(
     stepm.advance(state, superstep=1, persisted=False)
     n_frontier = state.filter("changed").count()
 
-    metrics: list[dict] = []
+    start_step, metrics = 1, []
+    part_metrics: list[dict] = []
+    n_metrics_appended = 0
+    n_pmetrics_appended = 0
+    if resume and ckpt is not None:
+        latest = ckpt.latest()
+        if latest is not None:
+            st, _, meta = ckpt.load(spark, latest)
+            state = materialize(st.repartition(n_part, "id"))
+            stepm.advance(state, superstep=latest, persisted=False)
+            n_frontier = meta["frontier"]
+            start_step = latest + 1
+
     converged = n_frontier == 0
-    superstep = 0
+    superstep = start_step - 1
     shufd = ShuffleDelta(spark)
     with bsp_loop_confs(spark):
-        for superstep in range(1, max_iter + 1):
+        for superstep in range(start_step, max_iter + 1):
             if converged:
                 superstep -= 1
                 break
@@ -133,13 +153,30 @@ def shortest_paths(
                 superstep,
             )
             # ONE action: fills the checkpoint cache + counts the new
-            # frontier (the reference's __messages termination counter)
-            n_frontier = (
-                nxt.agg(
-                    F.sum(F.col("changed").cast("long")).alias("nf")
-                ).collect()[0]["nf"]
-                or 0
-            )
+            # frontier (the reference's __messages termination counter);
+            # grouped by physical partition when I5 stats are on
+            if partition_metrics:
+                prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.col("changed").cast("long")).alias("nf"),
+                ).collect()
+                n_frontier = sum(r["nf"] or 0 for r in prows)
+                part_metrics.extend(
+                    {
+                        "run_id": run_id,
+                        "superstep": superstep,
+                        "partition_id": r["pid"],
+                        "rows": r["rows"],
+                    }
+                    for r in prows
+                )
+            else:
+                n_frontier = (
+                    nxt.agg(
+                        F.sum(F.col("changed").cast("long")).alias("nf")
+                    ).collect()[0]["nf"]
+                    or 0
+                )
             stepm.advance(nxt, superstep)
             state = nxt
             metrics.append(
@@ -151,6 +188,14 @@ def shortest_paths(
                     **shufd.sample(),
                 }
             )
+            if ckpt is not None and (
+                superstep % checkpoint_interval == 0 or n_frontier == 0
+            ):
+                ckpt.save(superstep, state, meta={"frontier": n_frontier})
+                ckpt.append_metrics(spark, metrics[n_metrics_appended:])
+                n_metrics_appended = len(metrics)
+                ckpt.append_partition_metrics(spark, part_metrics[n_pmetrics_appended:])
+                n_pmetrics_appended = len(part_metrics)
             if n_frontier == 0:
                 converged = True
                 break
@@ -163,4 +208,5 @@ def shortest_paths(
         converged=converged,
         metrics=metrics,
         run_id=run_id,
+        partition_metrics=part_metrics,
     )

@@ -258,3 +258,57 @@ def test_contract_graph_drop_loops_and_arg_check(spark):
         contract_graph(e)
     with pytest.raises(ValueError):
         contract_graph(e, group_fn=grp, mapping=e.select(F.col("src").alias("id")))
+
+
+# --------------------------- checkpoint resume -------------------------
+
+
+def test_hits_checkpoint_resume_matches_straight_run(spark, tmp_path):
+    e = edges_df(spark, TOY7)
+    straight = hits(spark, e, max_iter=4)
+    ck = str(tmp_path / "hits_ck")
+    hits(spark, e, max_iter=2, checkpoint_dir=ck, checkpoint_interval=1, run_id="r1")
+    resumed = hits(
+        spark, e, max_iter=4, checkpoint_dir=ck, run_id="r1", resume=True
+    )
+    a = {r["id"]: (r["auth"], r["hub"]) for r in straight.vertices.collect()}
+    b = {r["id"]: (r["auth"], r["hub"]) for r in resumed.vertices.collect()}
+    assert resumed.supersteps == 4
+    for v in a:
+        assert b[v][0] == pytest.approx(a[v][0], abs=1e-12)
+        assert b[v][1] == pytest.approx(a[v][1], abs=1e-12)
+
+
+def test_sssp_checkpoint_resume_matches_straight_run(spark, tmp_path):
+    wpairs = [(f"c{i}", f"c{i+1}", (i % 3) + 1.0) for i in range(12)]
+    e = wedges_df(spark, wpairs)
+    straight = shortest_paths(spark, e, sources=["c0"])
+    ck = str(tmp_path / "sssp_ck")
+    shortest_paths(
+        spark, e, sources=["c0"], max_iter=3,
+        checkpoint_dir=ck, checkpoint_interval=1, run_id="r1",
+    )
+    resumed = shortest_paths(
+        spark, e, sources=["c0"], checkpoint_dir=ck, run_id="r1", resume=True
+    )
+    a = {r["id"]: r["dist"] for r in straight.vertices.collect()}
+    b = {r["id"]: r["dist"] for r in resumed.vertices.collect()}
+    assert a == b
+    assert resumed.converged and resumed.supersteps == straight.supersteps
+    # per-partition I5 rows ride checkpointed runs
+    assert resumed.partition_metrics
+
+
+def test_kcore_checkpoint_resume_matches_straight_run(spark, tmp_path):
+    pairs = [(f"p{i}", f"p{i+1}") for i in range(8)] + [
+        ("q0", "q1"), ("q1", "q2"), ("q2", "q0")
+    ]
+    e = edges_df(spark, pairs)
+    straight = {r["id"] for r in k_core(spark, e, k=2).vertices.collect()}
+    ck = str(tmp_path / "kcore_ck")
+    k_core(spark, e, k=2, max_rounds=2,
+           checkpoint_dir=ck, checkpoint_interval=1, run_id="r1")
+    resumed = k_core(spark, e, k=2, checkpoint_dir=ck, run_id="r1", resume=True)
+    got = {r["id"] for r in resumed.vertices.collect()}
+    assert got == straight == {"q0", "q1", "q2"}
+    assert resumed.converged
