@@ -304,6 +304,15 @@ def q_kcore3_r4(spark, sf_dir):
     return res.vertices.select("id")
 
 
+def q_random_walks_l3(spark, sf_dir):
+    from pregel_spark.graph import random_walks
+
+    # deterministic md5-picked walks: bit-identical on any engine
+    return random_walks(
+        spark, _tri_edges(spark, sf_dir), walk_length=3, walks_per_vertex=1, seed=42
+    )
+
+
 # --------------------------- pipeline queries -------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -494,6 +503,37 @@ v AS (SELECT src AS id FROM e0 UNION SELECT dst AS id FROM e0),
 d0 AS (SELECT id, CASE WHEN id = '{source}'
                        THEN CAST(0.0 AS DOUBLE) END AS dist FROM v),{",".join(steps)}
 SELECT id, round(dist, 6) AS dist FROM d{k} WHERE dist IS NOT NULL
+"""
+
+
+def _walks_unrolled_sql(walk_length: int, edges_sql: str, seed: int) -> str:
+    """``walk_length`` deterministic walk hops (graph/walks.py with
+    walks_per_vertex=1): sorted-distinct adjacency, next =
+    nbrs[hash60(seed:start:walk:t:cur) % deg + 1] — the portable md5
+    pick reproduces Spark's element_at exactly."""
+    steps = []
+    selects = [
+        "SELECT start, walk, CAST(0 AS INTEGER) AS step, cur AS id FROM w0"
+    ]
+    for t in range(1, walk_length + 1):
+        h = _H60.format(
+            x=f"('{seed}:' || w.start || ':' || CAST(w.walk AS VARCHAR) "
+            f"|| ':{t}:' || w.cur)"
+        )
+        steps.append(f"""
+w{t} AS (SELECT w.start, w.walk,
+                a.nbrs[CAST({h} % len(a.nbrs) AS INTEGER) + 1] AS cur
+         FROM w{t - 1} w JOIN adj a ON a.src = w.cur)""")
+        selects.append(
+            f"SELECT start, walk, CAST({t} AS INTEGER) AS step, cur AS id FROM w{t}"
+        )
+    return f"""
+WITH e0 AS ({edges_sql}),
+adj AS (SELECT src, list_sort(list_distinct(list(dst))) AS nbrs
+        FROM e0 GROUP BY src),
+v AS (SELECT src AS id FROM e0 UNION SELECT dst AS id FROM e0),
+w0 AS (SELECT id AS start, CAST(0 AS INTEGER) AS walk, id AS cur FROM v),{",".join(steps)}
+{" UNION ALL ".join(selects)}
 """
 
 
@@ -748,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "host_pagerank_k3": q_host_pagerank_k3,
         "kcore3_r4": q_kcore3_r4,
+        "random_walks_l3": q_random_walks_l3,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -872,6 +913,7 @@ SELECT c.id, mx.mv AS value FROM comp c JOIN mx ON mx.component = c.component
         "host_graph": HOST_EDGES_SQL,
         "host_pagerank_k3": _pagerank_unrolled_sql(3, HOST_EDGES_SQL),
         "kcore3_r4": _kcore_unrolled_sql(3, 4, TRI_EDGES_SQL),
+        "random_walks_l3": _walks_unrolled_sql(3, TRI_EDGES_SQL, 42),
         "dedup_exact": """
 SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
 FROM documents GROUP BY md5(text)

@@ -10,6 +10,7 @@ from .maxprop import max_propagation
 from .hits import hits
 from .sssp import shortest_paths
 from .kcore import k_core
+from .walks import random_walks
 from .mutations import (
     add_edges,
     add_vertices,
@@ -41,4 +42,5 @@ __all__ = [
     "hits",
     "shortest_paths",
     "k_core",
+    "random_walks",
 ]

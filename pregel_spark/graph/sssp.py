@@ -16,6 +16,17 @@ mapping of the textbook algorithm:
   O(edges out of the frontier), the textbook Pregel win;
 - the min-combiner (A1) is ``groupBy(dst).min`` with map-side partial
   aggregation, so hub fan-in collapses before the shuffle;
+- the loop-carried state is the VISITED set only — O(reached), not
+  O(V). The first 100M-edge protocol run carried a full O(V) dist
+  table and spent 17-25s per superstep materializing ~94M mostly-NULL
+  rows while the measured shuffle volume was near zero
+  (BENCH_SCALING_sssp.json); unreached vertices are implicit until
+  one final ``verts LEFT JOIN dist`` projection. At 10^12 documents a
+  BFS wave touches a tiny fraction of the graph for many supersteps —
+  per-superstep cost must track the wave, in state size as well as in
+  message volume. The state grows via a self-partitioned FULL OUTER
+  join with the combined messages (both sides hash-partitioned on the
+  key, no extra exchange);
 - termination = empty frontier (the reference's ``__messages == 0``
   rule, ``pregel/master.lua``): Bellman-Ford relaxation is monotone,
   so extra supersteps after quiescence are no-ops — which is what
@@ -87,26 +98,20 @@ def shortest_paths(
         links.unpersist()
         raise ValueError("shortest_paths requires non-negative edge weights")
 
-    verts = vertices_from_edges(links)
     if isinstance(sources, DataFrame):
         src_df = sources.select("id").distinct()
     else:
         src_df = spark.createDataFrame([(s,) for s in sources], "id string").distinct()
-    # sources outside the graph are still reported (dist 0, no edges)
-    verts = verts.unionByName(src_df).distinct()
 
+    # visited-only state: just the sources at superstep 0
     state = materialize(
-        verts.join(src_df.withColumn("_s", F.lit(True)), "id", "left_outer")
-        .select(
-            "id",
-            F.when(F.col("_s").isNotNull(), F.lit(0.0)).alias("dist"),
-            F.col("_s").isNotNull().alias("changed"),
-        )
-        .repartition(n_part, "id")
+        src_df.select(
+            "id", F.lit(0.0).alias("dist"), F.lit(True).alias("changed")
+        ).repartition(n_part, "id")
     )
     stepm = StepMaterializer()
     stepm.advance(state, superstep=1, persisted=False)
-    n_frontier = state.filter("changed").count()
+    n_frontier = state.count()
 
     start_step, metrics = 1, []
     part_metrics: list[dict] = []
@@ -141,8 +146,11 @@ def shortest_paths(
             improved = F.col("md").isNotNull() & (
                 F.col("dist").isNull() | (F.col("md") < F.col("dist"))
             )
+            # FULL OUTER grows the visited set: msgs-only rows are newly
+            # reached, state-only rows carry over, both-side rows keep
+            # the min — O(visited + msgs) per superstep, never O(V)
             nxt = stepm.step(
-                state.join(msgs.withColumnRenamed("dst", "id"), "id", "left_outer")
+                state.join(msgs.withColumnRenamed("dst", "id"), "id", "full_outer")
                 .select(
                     "id",
                     F.when(improved, F.col("md"))
@@ -200,7 +208,14 @@ def shortest_paths(
                 converged = True
                 break
 
-    out = materialize(state.select("id", "dist"))
+    # one final O(V) projection: every vertex (plus foreign sources),
+    # NULL dist where the wave never arrived
+    verts = vertices_from_edges(links).unionByName(src_df).distinct()
+    out = materialize(
+        verts.join(state.select("id", "dist"), "id", "left_outer").select(
+            "id", "dist"
+        )
+    )
     links.unpersist()
     return PregelResult(
         vertices=out,

@@ -312,3 +312,72 @@ def test_kcore_checkpoint_resume_matches_straight_run(spark, tmp_path):
     got = {r["id"] for r in resumed.vertices.collect()}
     assert got == straight == {"q0", "q1", "q2"}
     assert resumed.converged
+
+
+# --------------------------- random walks ------------------------------
+
+
+def walks_oracle(pairs, walk_length, walks_per_vertex, seed):
+    """Pure-Python mirror of graph/walks.py's deterministic picks."""
+    import hashlib
+
+    adj = defaultdict(set)
+    nodes = set()
+    for a, b in pairs:
+        adj[a].add(b)
+        nodes.add(a)
+        nodes.add(b)
+    rows = set()
+    for start in nodes:
+        for w in range(walks_per_vertex):
+            cur = start
+            rows.add((start, w, 0, cur))
+            for t in range(1, walk_length + 1):
+                nbrs = sorted(adj[cur])
+                if not nbrs:
+                    break
+                h = int(
+                    hashlib.md5(
+                        f"{seed}:{start}:{w}:{t}:{cur}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                cur = nbrs[h % len(nbrs)]
+                rows.add((start, w, t, cur))
+    return rows
+
+
+def test_random_walks_vs_python_oracle(spark):
+    from pregel_spark.graph import random_walks
+
+    res = random_walks(
+        spark, edges_df(spark, TOY7), walk_length=3, walks_per_vertex=2, seed=7
+    )
+    got = {(r["start"], r["walk"], r["step"], r["id"]) for r in res.collect()}
+    assert got == walks_oracle(TOY7, 3, 2, 7)
+    # walks from f/g bounce in the 2-cycle forever; walks hitting a
+    # dangling-free graph all reach full length here except none dangle
+    # in TOY7 -> every walk has exactly 4 rows
+    assert len(got) >= len({x for p in TOY7 for x in p}) * 2
+
+
+def test_random_walks_end_at_dangling(spark):
+    from pregel_spark.graph import random_walks
+
+    res = random_walks(
+        spark, edges_df(spark, [("a", "b")]), walk_length=5, walks_per_vertex=1
+    )
+    rows = {(r["start"], r["step"], r["id"]) for r in res.collect()}
+    # a's walk: a -> b then stops (b dangles); b's walk: just b
+    assert rows == {("a", 0, "a"), ("a", 1, "b"), ("b", 0, "b")}
+
+
+def test_random_walks_deterministic_and_seed_sensitive(spark):
+    from pregel_spark.graph import random_walks
+
+    e = edges_df(spark, CLIQUE_BRIDGE + [(b, a) for a, b in CLIQUE_BRIDGE])
+    r1 = {tuple(r) for r in random_walks(spark, e, 4, 1, seed=1).collect()}
+    r2 = {tuple(r) for r in random_walks(spark, e, 4, 1, seed=1).collect()}
+    r3 = {tuple(r) for r in random_walks(spark, e, 4, 1, seed=2).collect()}
+    assert r1 == r2
+    assert r1 != r3
