@@ -381,3 +381,62 @@ def test_random_walks_deterministic_and_seed_sensitive(spark):
     r3 = {tuple(r) for r in random_walks(spark, e, 4, 1, seed=2).collect()}
     assert r1 == r2
     assert r1 != r3
+
+
+# --------------------- bucketed (indexed) SSSP scale path ---------------
+
+
+def test_sssp_indexed_matches_inline_and_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pregel_spark.graph.sssp import (
+        shortest_paths_indexed,
+        write_edge_buckets,
+    )
+
+    rng = np.random.default_rng(5)
+    wpairs = sorted(
+        {
+            (f"n{a}", f"n{b}", int(w))
+            for a, b, w in zip(
+                rng.integers(0, 50, 300),
+                rng.integers(0, 50, 300),
+                rng.integers(1, 6, 300),
+            )
+            if a != b
+        }
+    )
+    e = wedges_df(spark, wpairs)
+    path = str(tmp_path / "sssp_idx")
+    write_edge_buckets(e, path, buckets=16)
+    inline = shortest_paths(spark, e, sources=["n0"])
+    indexed = shortest_paths_indexed(spark, path, sources=["n0"])
+    a = {r["id"]: r["dist"] for r in inline.vertices.collect()}
+    b = {r["id"]: r["dist"] for r in indexed.vertices.collect()}
+    assert a == b
+    assert indexed.converged and indexed.supersteps == inline.supersteps
+    # metrics record how many bucket dirs each superstep scanned
+    assert all(m["buckets_scanned"] <= 16 for m in indexed.metrics)
+
+    # the pruned scan must touch ONLY the frontier's bucket dirs: for a
+    # single-source step the filter keeps exactly one bucket
+    blist = [
+        r["b"]
+        for r in spark.createDataFrame([("n0",)], "src string")
+        .select(F.pmod(F.xxhash64("src"), F.lit(16)).alias("b"))
+        .collect()
+    ]
+    pruned = spark.read.parquet(f"{path}/edges").filter(
+        F.col("bucket").isin(blist)
+    )
+    # files ACTUALLY read (input_file_name observes pruning; a plain
+    # .inputFiles() reports the unpruned relation)
+    files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert files, "pruned scan lost all files"
+    assert all(f"bucket={blist[0]}/" in f for f in files), files
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
