@@ -46,6 +46,49 @@ TABLES = [
 
 # --- shared graph derivations (identical text runs on Spark + DuckDB) ---
 
+# Every TPC-H-derived link fixture above/below is ACYCLIC (bipartite
+# part->supplier, forward-only circulants), so SCC / bowtie get a
+# hand-designed cyclic core exercising all six Broder regions: giant
+# ring CORE g20..g39; IN chain g00..g09 (inner cycle g03-05) entering
+# at g22; OUT chain g40..g48 (inner cycle g42-44) leaving from g35;
+# tube g07->g50->g51->g45; tendrils g06->g52->g53 and g54->g55->g46;
+# disconnected g56->g57, g58->g59. The customer table grafts an
+# sf-scaled IN fringe (every customer points at g00, which reaches the
+# core), so row counts and the trim phase scale with the input.
+_BOWTIE_PAIRS = (
+    [(i, i + 1) for i in range(20, 39)] + [(39, 20)]
+    + [(i, i + 1) for i in range(0, 9)] + [(9, 22), (5, 3)]
+    + [(35, 40)] + [(i, i + 1) for i in range(40, 48)] + [(44, 42)]
+    + [(7, 50), (50, 51), (51, 45)]
+    + [(6, 52), (52, 53), (54, 55), (55, 46)]
+    + [(56, 57), (58, 59)]
+)
+
+BOWTIE_EDGES_SQL = (
+    "SELECT 'g' || lpad(CAST(a AS STRING), 2, '0') AS src,\n"
+    "       'g' || lpad(CAST(b AS STRING), 2, '0') AS dst\n"
+    "FROM (VALUES "
+    + ",".join(f"({a},{b})" for a, b in _BOWTIE_PAIRS)
+    + ") AS t(a, b)\n"
+    "UNION ALL\n"
+    "SELECT 'x' || lpad(CAST(c_custkey AS STRING), 8, '0') AS src,\n"
+    "       'g00' AS dst\n"
+    "FROM customer"
+)
+
+# transitive closure + mutual-pair SCC of the bowtie fixture — the
+# shared CTE prefix of the scc_fixture and bowtie_fixture oracles
+_SCC_CLOSURE_CTES = f"""e0 AS ({BOWTIE_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e
+                               UNION ALL SELECT dst AS id FROM e) vu),
+r(a, b) AS (SELECT src, dst FROM e
+            UNION
+            SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+m AS (SELECT r1.a, r1.b FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a),
+sccs AS (SELECT v.id, least(v.id, COALESCE(min(m.b), v.id)) AS scc
+         FROM v LEFT JOIN m ON m.a = v.id GROUP BY v.id)"""
+
 EDGES_SQL = """
 SELECT DISTINCT 'p' || CAST(l_partkey AS STRING) AS src,
                 's' || CAST(l_suppkey AS STRING) AS dst,
@@ -189,6 +232,35 @@ def q_pagerank_k8(spark, sf_dir):
     return res.vertices.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_ppr_k4(spark, sf_dir):
+    """Personalized PageRank (TrustRank-style): restart + dangling mass
+    return to a seed set instead of all vertices. Seeds = the two
+    lexicographically-smallest link sources — the same pick the oracle
+    makes, so both engines personalize on identical vertices."""
+    from pregel_spark.graph import pagerank
+
+    edges = _edges(spark, sf_dir)
+    seeds = [
+        r["src"]
+        for r in edges.select("src").distinct().orderBy("src").limit(2).collect()
+    ]
+    res = pagerank(
+        spark, edges, tol=0.0, max_iter=4, pre_deduped=True, sources=seeds
+    )
+    return res.vertices.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_weighted_k3(spark, sf_dir):
+    """Weighted PageRank (reference integer edge values,
+    pregel/loader.lua:105): rank flows proportionally to edge weight."""
+    from pregel_spark.graph import pagerank
+
+    res = pagerank(
+        spark, _w_edges(spark, sf_dir), tol=0.0, max_iter=3, weighted=True
+    )
+    return res.vertices.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_pagerank_full(spark, sf_dir):
     from pregel_spark.graph import pagerank
 
@@ -262,6 +334,26 @@ def q_hits_k5(spark, sf_dir):
     return res.vertices.select(
         "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
     )
+
+
+def q_scc_fixture(spark, sf_dir):
+    """SCC over the cyclic bowtie fixture (labels = lexicographic-min
+    member; the oracle is a recursive-CTE transitive closure filtered
+    to mutual pairs)."""
+    from pregel_spark.graph import strongly_connected_components
+
+    _register_views(spark, sf_dir)
+    res = strongly_connected_components(spark, spark.sql(BOWTIE_EDGES_SQL))
+    return res.vertices.select("id", "scc")
+
+
+def q_bowtie_fixture(spark, sf_dir):
+    """Broder bowtie regions over the same fixture."""
+    from pregel_spark.graph import bowtie
+
+    _register_views(spark, sf_dir)
+    res = bowtie(spark, spark.sql(BOWTIE_EDGES_SQL))
+    return res.vertices.select("id", "region")
 
 
 def q_sssp_k8(spark, sf_dir):
@@ -449,6 +541,71 @@ od AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src),
 r0 AS (SELECT id, 1.0 / nn AS rank FROM v CROSS JOIN n),{",".join(steps)}
 SELECT id, round(rank, 6) AS rank FROM r{k}
 """
+def _ppr_unrolled_sql(k: int, edges_sql: str) -> str:
+    """k supersteps of personalized PageRank: the (1-d) restart mass
+    and the dangling mass both return (uniformly) to the seed set —
+    here the two lexicographically-smallest src vertices, the same
+    pick ``q_ppr_k4`` makes on the Spark side. Float-op order mirrors
+    graph/pagerank.py's ``sources`` branch exactly."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+d{i} AS (SELECT COALESCE(sum(rank), 0.0) AS dm FROM r{i}
+        WHERE id NOT IN (SELECT src FROM od)),
+s{i + 1} AS (SELECT e.dst AS id, sum(r{i}.rank / od.c) AS s
+        FROM e JOIN od ON e.src = od.src JOIN r{i} ON r{i}.id = e.src
+        GROUP BY e.dst),
+r{i + 1} AS (SELECT v.id,
+        CASE WHEN sv{i}.id IS NOT NULL
+             THEN (1 - 0.85) / ns + 0.85 * d{i}.dm / ns
+             ELSE 0.0 END
+        + 0.85 * COALESCE(s{i + 1}.s, 0.0) AS rank
+        FROM v CROSS JOIN nsrc CROSS JOIN d{i}
+        LEFT JOIN sv sv{i} ON sv{i}.id = v.id
+        LEFT JOIN s{i + 1} ON s{i + 1}.id = v.id)""")
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+sv AS (SELECT DISTINCT src AS id FROM e ORDER BY src LIMIT 2),
+nsrc AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sv),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src),
+r0 AS (SELECT v.id, CASE WHEN s.id IS NOT NULL THEN 1.0 / ns
+                         ELSE 0.0 END AS rank
+       FROM v CROSS JOIN nsrc LEFT JOIN sv s ON s.id = v.id),{",".join(steps)}
+SELECT id, round(rank, 6) AS rank FROM r{k}
+"""
+
+
+def _wpagerank_unrolled_sql(k: int, edges_sql: str) -> str:
+    """k supersteps of weighted PageRank: parallel (src,dst) edges sum
+    their weights, share(u->v) = w / Σ_x w(u,x) (precomputed per edge,
+    matching the Spark links table), dangling = no out-edges."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+d{i} AS (SELECT COALESCE(sum(rank), 0.0) AS dm FROM r{i}
+        WHERE id NOT IN (SELECT src FROM ws)),
+s{i + 1} AS (SELECT ws.dst AS id, sum(r{i}.rank * ws.share) AS s
+        FROM ws JOIN r{i} ON r{i}.id = ws.src
+        GROUP BY ws.dst),
+r{i + 1} AS (SELECT v.id,
+        (1 - 0.85) / nn + 0.85 * (COALESCE(s{i + 1}.s, 0.0) + d{i}.dm / nn) AS rank
+        FROM v CROSS JOIN n CROSS JOIN d{i}
+        LEFT JOIN s{i + 1} ON s{i + 1}.id = v.id)""")
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT src, dst, sum(weight) AS w FROM e0 GROUP BY src, dst),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
+od AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src),
+ws AS (SELECT e.src, e.dst, e.w / od.wsum AS share
+       FROM e JOIN od ON od.src = e.src),
+r0 AS (SELECT id, 1.0 / nn AS rank FROM v CROSS JOIN n),{",".join(steps)}
+SELECT id, round(rank, 6) AS rank FROM r{k}
+"""
+
+
 def _hits_unrolled_sql(k: int, edges_sql: str) -> str:
     """k HITS iterations (h0 = 1; a <- A^T h / ||.||2,
     h <- A A^T h / ||.||2 — the inner norm cancels, matching
@@ -775,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "pagerank_k3": q_pagerank_k3,
         "pagerank_k8": q_pagerank_k8,
+        "ppr_k4": q_ppr_k4,
+        "pagerank_weighted_k3": q_pagerank_weighted_k3,
         "pagerank_full": q_pagerank_full,
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
@@ -785,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxprop": q_maxprop,
         "hits_k5": q_hits_k5,
         "sssp_k8": q_sssp_k8,
+        "scc_fixture": q_scc_fixture,
+        "bowtie_fixture": q_bowtie_fixture,
         "host_graph": q_host_graph,
         "host_pagerank_k3": q_host_pagerank_k3,
         "kcore3_r4": q_kcore3_r4,
@@ -830,6 +991,8 @@ FROM ids LEFT JOIN out_d ON ids.id = out_d.id LEFT JOIN in_d ON ids.id = in_d.id
 """,
         "pagerank_k3": _pagerank_unrolled_sql(3, EDGES_SQL),
         "pagerank_k8": _pagerank_unrolled_sql(8, EDGES_SQL),
+        "ppr_k4": _ppr_unrolled_sql(4, EDGES_SQL),
+        "pagerank_weighted_k3": _wpagerank_unrolled_sql(3, W_EDGES_SQL),
         "connected_components": f"""
 WITH RECURSIVE {edges_cte},
 {_UE_CTE},
@@ -910,6 +1073,48 @@ SELECT c.id, mx.mv AS value FROM comp c JOIN mx ON mx.component = c.component
 """,
         "hits_k5": _hits_unrolled_sql(5, EDGES_SQL),
         "sssp_k8": _sssp_unrolled_sql(8, W_EDGES_SQL, "c0"),
+        "scc_fixture": f"""
+WITH RECURSIVE {_SCC_CLOSURE_CTES}
+SELECT id, scc FROM sccs
+""",
+        "bowtie_fixture": f"""
+WITH RECURSIVE {_SCC_CLOSURE_CTES},
+giant AS (SELECT scc FROM sccs GROUP BY scc
+          ORDER BY count(*) DESC, scc ASC LIMIT 1),
+core AS (SELECT id FROM sccs WHERE scc = (SELECT scc FROM giant)),
+fwd AS (SELECT DISTINCT id FROM (SELECT id FROM core UNION ALL
+        SELECT r.b AS id FROM r JOIN core ON r.a = core.id) fu),
+bwd AS (SELECT DISTINCT id FROM (SELECT id FROM core UNION ALL
+        SELECT r.a AS id FROM r JOIN core ON r.b = core.id) bu),
+outv AS (SELECT f.id FROM fwd f LEFT JOIN core c ON c.id = f.id
+         WHERE c.id IS NULL),
+inv AS (SELECT b.id FROM bwd b LEFT JOIN core c ON c.id = b.id
+        WHERE c.id IS NULL),
+known AS (SELECT DISTINCT id FROM (SELECT id FROM core
+          UNION ALL SELECT id FROM outv
+          UNION ALL SELECT id FROM inv) ku),
+fin AS (SELECT DISTINCT r.b AS id FROM r JOIN inv ON r.a = inv.id
+        LEFT JOIN known k ON k.id = r.b WHERE k.id IS NULL),
+bout AS (SELECT DISTINCT r.a AS id FROM r JOIN outv ON r.b = outv.id
+         LEFT JOIN known k ON k.id = r.a WHERE k.id IS NULL),
+tubes AS (SELECT f.id FROM fin f JOIN bout b ON b.id = f.id),
+tend AS (SELECT DISTINCT u.id
+         FROM (SELECT id FROM fin UNION ALL SELECT id FROM bout) u
+         LEFT JOIN tubes t ON t.id = u.id WHERE t.id IS NULL)
+SELECT v.id,
+       CASE WHEN c.id IS NOT NULL THEN 'CORE'
+            WHEN i.id IS NOT NULL THEN 'IN'
+            WHEN o.id IS NOT NULL THEN 'OUT'
+            WHEN tb.id IS NOT NULL THEN 'TUBES'
+            WHEN td.id IS NOT NULL THEN 'TENDRILS'
+            ELSE 'DISC' END AS region
+FROM v
+LEFT JOIN core c ON c.id = v.id
+LEFT JOIN inv i ON i.id = v.id
+LEFT JOIN outv o ON o.id = v.id
+LEFT JOIN tubes tb ON tb.id = v.id
+LEFT JOIN tend td ON td.id = v.id
+""",
         "host_graph": HOST_EDGES_SQL,
         "host_pagerank_k3": _pagerank_unrolled_sql(3, HOST_EDGES_SQL),
         "kcore3_r4": _kcore_unrolled_sql(3, 4, TRI_EDGES_SQL),

@@ -10,6 +10,7 @@ from .maxprop import max_propagation
 from .hits import hits
 from .sssp import shortest_paths
 from .kcore import k_core
+from .scc import bowtie, strongly_connected_components
 from .walks import random_walks
 from .mutations import (
     add_edges,
@@ -43,4 +44,6 @@ __all__ = [
     "shortest_paths",
     "k_core",
     "random_walks",
+    "strongly_connected_components",
+    "bowtie",
 ]

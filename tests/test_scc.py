@@ -1,0 +1,198 @@
+"""SCC + bowtie vs exact Python oracles (Tarjan; set-algebra regions).
+
+The TPC-H-derived link fixtures are all acyclic, so SCC gets its own
+hand-designed cyclic graph exercising every bowtie region, plus random
+digraphs for the general case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pregel_spark.graph import bowtie, strongly_connected_components
+from tests.conftest import edges_df
+
+# the same shape as __spark_entry__._BOWTIE_PAIRS: giant ring CORE
+# 20..39; IN chain 0..9 (with cycle 3-4-5) entering at 22; OUT chain
+# 40..48 (with cycle 42-43-44) leaving from 35; tube 7->50->51->45;
+# tendrils 6->52->53 (off IN) and 54->55->46 (into OUT); disconnected
+# 56->57, 58->59.
+BOWTIE_PAIRS = (
+    [(i, i + 1) for i in range(20, 39)] + [(39, 20)]
+    + [(i, i + 1) for i in range(0, 9)] + [(9, 22), (5, 3)]
+    + [(35, 40)] + [(i, i + 1) for i in range(40, 48)] + [(44, 42)]
+    + [(7, 50), (50, 51), (51, 45)]
+    + [(6, 52), (52, 53), (54, 55), (55, 46)]
+    + [(56, 57), (58, 59)]
+)
+
+
+def _g(i):
+    return f"g{i:02d}"
+
+
+def tarjan_scc(pairs):
+    """{vertex: min-member-of-its-SCC} — iterative Tarjan."""
+    adj = {}
+    verts = set()
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        verts.update((a, b))
+    index, low, onstk = {}, {}, set()
+    stack, out, counter = [], {}, [0]
+    for root in sorted(verts):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstk.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return out
+
+
+def test_scc_bowtie_fixture(spark):
+    pairs = [(_g(a), _g(b)) for a, b in BOWTIE_PAIRS]
+    res = strongly_connected_components(spark, edges_df(spark, pairs))
+    got = {r["id"]: r["scc"] for r in res.vertices.collect()}
+    assert res.converged
+    assert got == tarjan_scc(pairs)
+    # spot-check the designed structure
+    assert {got[_g(i)] for i in range(20, 40)} == {_g(20)}
+    assert {got[_g(i)] for i in (3, 4, 5)} == {_g(3)}
+    assert {got[_g(i)] for i in (42, 43, 44)} == {_g(42)}
+    assert got[_g(0)] == _g(0) and got[_g(56)] == _g(56)
+
+
+def test_scc_random_digraphs(spark):
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        pairs = sorted(
+            {
+                (f"n{a:02d}", f"n{b:02d}")
+                for a, b in zip(rng.integers(0, 40, 120), rng.integers(0, 40, 120))
+                if a != b
+            }
+        )
+        res = strongly_connected_components(spark, edges_df(spark, pairs))
+        got = {r["id"]: r["scc"] for r in res.vertices.collect()}
+        assert res.converged, f"seed {seed} did not converge"
+        assert got == tarjan_scc(pairs), f"seed {seed} mismatch"
+
+
+def test_scc_pure_dag_trims_everything(spark):
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    res = strongly_connected_components(spark, edges_df(spark, pairs))
+    got = {r["id"]: r["scc"] for r in res.vertices.collect()}
+    assert got == {v: v for v in "abcd"}
+    # trim alone settles a DAG: no color/collect supersteps needed
+    assert all(m["phase"] == "trim" for m in res.metrics)
+
+
+def test_scc_single_cycle_no_trim_path(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+    res = strongly_connected_components(spark, edges_df(spark, pairs), trim=False)
+    got = {r["id"]: r["scc"] for r in res.vertices.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def _bowtie_regions_oracle(pairs):
+    scc = tarjan_scc(pairs)
+    verts = sorted(scc)
+    adj, radj = {}, {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        radj.setdefault(b, set()).add(a)
+
+    def reach(seeds, g):
+        seen, todo = set(seeds), list(seeds)
+        while todo:
+            v = todo.pop()
+            for w in g.get(v, ()):
+                if w not in seen:
+                    seen.add(w)
+                    todo.append(w)
+        return seen
+
+    sizes = {}
+    for v, c in scc.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    giant = min(c for c in sizes if sizes[c] == max(sizes.values()))
+    core = {v for v in verts if scc[v] == giant}
+    fwd, bwd = reach(core, adj), reach(core, radj)
+    out_v, in_v = fwd - core, bwd - core
+    known = core | out_v | in_v
+    fin = reach(in_v, adj) - known
+    bout = reach(out_v, radj) - known
+    tubes = fin & bout
+    tendrils = (fin | bout) - tubes
+    regions = {}
+    for v in verts:
+        regions[v] = (
+            "CORE" if v in core else "IN" if v in in_v else "OUT" if v in out_v
+            else "TUBES" if v in tubes else "TENDRILS" if v in tendrils
+            else "DISC"
+        )
+    return regions
+
+
+def test_bowtie_fixture_regions(spark):
+    pairs = [(_g(a), _g(b)) for a, b in BOWTIE_PAIRS]
+    res = bowtie(spark, edges_df(spark, pairs))
+    got = {r["id"]: r["region"] for r in res.vertices.collect()}
+    assert got == _bowtie_regions_oracle(pairs)
+    # the designed regions, explicitly
+    assert {v for v, r in got.items() if r == "CORE"} == {_g(i) for i in range(20, 40)}
+    assert {v for v, r in got.items() if r == "IN"} == {_g(i) for i in range(0, 10)}
+    assert {v for v, r in got.items() if r == "OUT"} == {_g(i) for i in range(40, 49)}
+    assert {v for v, r in got.items() if r == "TUBES"} == {_g(50), _g(51)}
+    assert {v for v, r in got.items() if r == "TENDRILS"} == {
+        _g(52), _g(53), _g(54), _g(55)
+    }
+    assert {v for v, r in got.items() if r == "DISC"} == {
+        _g(56), _g(57), _g(58), _g(59)
+    }
+
+
+def test_bowtie_random_digraph(spark):
+    rng = np.random.default_rng(7)
+    pairs = sorted(
+        {
+            (f"n{a:02d}", f"n{b:02d}")
+            for a, b in zip(rng.integers(0, 30, 90), rng.integers(0, 30, 90))
+            if a != b
+        }
+    )
+    res = bowtie(spark, edges_df(spark, pairs))
+    got = {r["id"]: r["region"] for r in res.vertices.collect()}
+    assert got == _bowtie_regions_oracle(pairs)
