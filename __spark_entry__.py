@@ -336,6 +336,17 @@ def q_hits_k5(spark, sf_dir):
     )
 
 
+def q_neigh_k3(spark, sf_dir):
+    """Neighborhood function at radius 3 (exact-set mode; the HLL
+    sketch mode is the scale path, pytest-bounded against this one)."""
+    from pregel_spark.graph import neighborhood_function
+
+    res = neighborhood_function(
+        spark, _tri_edges(spark, sf_dir), max_radius=3, mode="exact"
+    )
+    return res.vertices.select("id", "reach")
+
+
 def q_scc_fixture(spark, sf_dir):
     """SCC over the cyclic bowtie fixture (labels = lexicographic-min
     member; the oracle is a recursive-CTE transitive closure filtered
@@ -944,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxprop": q_maxprop,
         "hits_k5": q_hits_k5,
         "sssp_k8": q_sssp_k8,
+        "neigh_k3": q_neigh_k3,
         "scc_fixture": q_scc_fixture,
         "bowtie_fixture": q_bowtie_fixture,
         "host_graph": q_host_graph,
@@ -1073,6 +1085,18 @@ SELECT c.id, mx.mv AS value FROM comp c JOIN mx ON mx.component = c.component
 """,
         "hits_k5": _hits_unrolled_sql(5, EDGES_SQL),
         "sssp_k8": _sssp_unrolled_sql(8, W_EDGES_SQL, "c0"),
+        "neigh_k3": f"""
+WITH RECURSIVE e0 AS ({TRI_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e
+                               UNION ALL SELECT dst AS id FROM e) vu),
+r(a, b, d) AS (SELECT id, id, 0 FROM v
+               UNION
+               SELECT r.a, e.dst, r.d + 1
+               FROM r JOIN e ON e.src = r.b WHERE r.d < 3)
+SELECT a AS id, CAST(count(DISTINCT b) AS DOUBLE) AS reach
+FROM r GROUP BY a
+""",
         "scc_fixture": f"""
 WITH RECURSIVE {_SCC_CLOSURE_CTES}
 SELECT id, scc FROM sccs

@@ -10,6 +10,7 @@ from .maxprop import max_propagation
 from .hits import hits
 from .sssp import shortest_paths
 from .kcore import k_core
+from .neighborhood import effective_diameter, neighborhood_function
 from .scc import bowtie, strongly_connected_components
 from .walks import random_walks
 from .mutations import (
@@ -46,4 +47,6 @@ __all__ = [
     "random_walks",
     "strongly_connected_components",
     "bowtie",
+    "neighborhood_function",
+    "effective_diameter",
 ]
