@@ -336,6 +336,22 @@ def q_hits_k5(spark, sf_dir):
     )
 
 
+def q_sssp_k8_indexed(spark, sf_dir):
+    """The same 8 Bellman-Ford rounds through the bucket-partitioned
+    on-disk index (graph/sssp.write_edge_buckets) — proves the
+    edges-bigger-than-memory path against the identical oracle."""
+    import tempfile
+
+    from pregel_spark.graph.sssp import shortest_paths_indexed, write_edge_buckets
+
+    path = tempfile.mkdtemp(prefix="sssp_idx_contract_")
+    write_edge_buckets(_w_edges(spark, sf_dir), path, buckets=32)
+    res = shortest_paths_indexed(spark, path, sources=["c0"], max_iter=8)
+    return res.vertices.filter(F.col("dist").isNotNull()).select(
+        "id", F.round("dist", 6).alias("dist")
+    )
+
+
 def q_neigh_k3(spark, sf_dir):
     """Neighborhood function at radius 3 (exact-set mode; the HLL
     sketch mode is the scale path, pytest-bounded against this one)."""
@@ -955,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxprop": q_maxprop,
         "hits_k5": q_hits_k5,
         "sssp_k8": q_sssp_k8,
+        "sssp_k8_indexed": q_sssp_k8_indexed,
         "neigh_k3": q_neigh_k3,
         "scc_fixture": q_scc_fixture,
         "bowtie_fixture": q_bowtie_fixture,
@@ -1085,6 +1102,7 @@ SELECT c.id, mx.mv AS value FROM comp c JOIN mx ON mx.component = c.component
 """,
         "hits_k5": _hits_unrolled_sql(5, EDGES_SQL),
         "sssp_k8": _sssp_unrolled_sql(8, W_EDGES_SQL, "c0"),
+        "sssp_k8_indexed": _sssp_unrolled_sql(8, W_EDGES_SQL, "c0"),
         "neigh_k3": f"""
 WITH RECURSIVE e0 AS ({TRI_EDGES_SQL}),
 e AS (SELECT DISTINCT src, dst FROM e0),

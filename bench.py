@@ -49,6 +49,9 @@ HEADLINE = R2_COMPARABLE + [
     "sssp_k8",
     "kcore3_r4",
     "host_pagerank_k3",
+    "scc_fixture",
+    "bowtie_fixture",
+    "neigh_k3",
 ]
 
 
