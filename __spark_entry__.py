@@ -76,6 +76,16 @@ BOWTIE_EDGES_SQL = (
     "FROM customer"
 )
 
+# anchor-text fixture: part names play the anchor strings pointing at
+# supplier pages (the html->anchors extraction itself is pytest-pinned
+# byte-identically; this contract row checks the AGGREGATION)
+ANCHOR_SQL = """
+SELECT 'p' || CAST(l_partkey AS STRING) AS src,
+       's' || CAST(l_suppkey AS STRING) AS dst,
+       p_name AS anchor
+FROM lineitem JOIN part ON p_partkey = l_partkey
+"""
+
 # transitive closure + mutual-pair SCC of the bowtie fixture — the
 # shared CTE prefix of the scc_fixture and bowtie_fixture oracles
 _SCC_CLOSURE_CTES = f"""e0 AS ({BOWTIE_EDGES_SQL}),
@@ -334,6 +344,14 @@ def q_hits_k5(spark, sf_dir):
     return res.vertices.select(
         "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
     )
+
+
+def q_anchor_terms_k3(spark, sf_dir):
+    """Inverted anchor-text index: top-3 anchor terms per target."""
+    from pregel_spark.graph import anchor_index
+
+    _register_views(spark, sf_dir)
+    return anchor_index(spark.sql(ANCHOR_SQL), top_k=3)
 
 
 def q_sssp_k8_indexed(spark, sf_dir):
@@ -972,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_k5": q_hits_k5,
         "sssp_k8": q_sssp_k8,
         "sssp_k8_indexed": q_sssp_k8_indexed,
+        "anchor_terms_k3": q_anchor_terms_k3,
         "neigh_k3": q_neigh_k3,
         "scc_fixture": q_scc_fixture,
         "bowtie_fixture": q_bowtie_fixture,
@@ -1103,6 +1122,17 @@ SELECT c.id, mx.mv AS value FROM comp c JOIN mx ON mx.component = c.component
         "hits_k5": _hits_unrolled_sql(5, EDGES_SQL),
         "sssp_k8": _sssp_unrolled_sql(8, W_EDGES_SQL, "c0"),
         "sssp_k8_indexed": _sssp_unrolled_sql(8, W_EDGES_SQL, "c0"),
+        "anchor_terms_k3": f"""
+WITH a AS ({ANCHOR_SQL}),
+t AS (SELECT dst, unnest(string_split(lower(anchor), ' ')) AS term FROM a),
+c AS (SELECT dst, term, count(*) AS n FROM t
+      WHERE length(term) >= 1 GROUP BY dst, term),
+r AS (SELECT dst, term, n,
+             row_number() OVER (PARTITION BY dst
+                                ORDER BY n DESC, term ASC) AS rank
+      FROM c)
+SELECT dst, term, n, rank FROM r WHERE rank <= 3
+""",
         "neigh_k3": f"""
 WITH RECURSIVE e0 AS ({TRI_EDGES_SQL}),
 e AS (SELECT DISTINCT src, dst FROM e0),

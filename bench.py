@@ -49,10 +49,12 @@ HEADLINE = R2_COMPARABLE + [
     "sssp_k8",
     "kcore3_r4",
     "host_pagerank_k3",
-    "scc_fixture",
-    "bowtie_fixture",
     "neigh_k3",
 ]
+# scc_fixture / bowtie_fixture stay correctness-only: they run on the
+# constant ~60-vertex cyclic fixture, so their wall time is ~100 tiny
+# supersteps of fixed job overhead (measured 30s/44s at sf0.1) — pure
+# driver-overhead noise that says nothing about data-plane throughput
 
 
 def force(df):

@@ -27,7 +27,7 @@ from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 # --- pinned regex constants (shared by oracle and vectorized twin) ---
 SCRIPT_STYLE_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
@@ -37,6 +37,12 @@ WS_RE = re.compile(r"\s+")
 ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]+|#[0-9]+|[a-zA-Z][a-zA-Z0-9]*);")
 HREF_RE = re.compile(
     r"(?is)<a\s[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))"
+)
+# href + the anchor's inner text (non-greedy to the matching </a>);
+# anchors with no closing tag yield no row — pinned semantics
+ANCHOR_RE = re.compile(
+    r"(?is)<a\s[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"']+))"
+    r"[^>]*>(.*?)</a\s*>"
 )
 
 NAMED_ENTITIES = {
@@ -127,6 +133,34 @@ def oracle_extract_links(html: bytes | str | None, base_url: str) -> list[str]:
     return out
 
 
+def _clean_anchor_text(s: str) -> str:
+    """Anchor inner text through the SAME pinned text pipeline (tags ->
+    space, entities, whitespace collapse) minus script/comment removal,
+    which already happened on the enclosing document."""
+    s = TAG_RE.sub(" ", s)
+    s = ENTITY_RE.sub(_entity_repl, s)
+    return WS_RE.sub(" ", s).strip()
+
+
+def oracle_extract_anchors(
+    html: bytes | str | None, base_url: str
+) -> list[tuple[str, str]]:
+    """Pinned per-document (target_url, anchor_text) extraction — the
+    classic web-ranking signal (anchor text describes the TARGET).
+    Same href resolution as :func:`oracle_extract_links`; duplicates
+    preserved in document order; empty anchor text kept as ''."""
+    s = decode_html(html)
+    s = SCRIPT_STYLE_RE.sub(" ", s)
+    s = COMMENT_RE.sub(" ", s)
+    out: list[tuple[str, str]] = []
+    for m in ANCHOR_RE.finditer(s):
+        href = m.group(1) or m.group(2) or m.group(3) or ""
+        r = _resolve_href(href, base_url)
+        if r is not None:
+            out.append((r, _clean_anchor_text(m.group(4) or "")))
+    return out
+
+
 # ---------------------------------------------------------------------
 # Vectorized tier: pandas .str ops over Arrow batches (the fast twin).
 # ---------------------------------------------------------------------
@@ -168,6 +202,39 @@ def extract_links_pandas(html: pd.Series, url: pd.Series) -> pd.Series:
     )
 
 
+def extract_anchors_pandas(html: pd.Series, url: pd.Series) -> pd.Series:
+    """Vectorized twin of :func:`oracle_extract_anchors` over a batch."""
+    s = _decode_series(html)
+    s = s.str.replace(SCRIPT_STYLE_RE, " ", regex=True)
+    s = s.str.replace(COMMENT_RE, " ", regex=True)
+    raw = s.str.findall(ANCHOR_RE)
+
+    def _resolve_row(pair: tuple[list, str]) -> list[dict]:
+        matches, base = pair
+        out = []
+        for g1, g2, g3, text in matches:
+            r = _resolve_href(g1 or g2 or g3 or "", base)
+            if r is not None:
+                out.append({"dst": r, "anchor": _clean_anchor_text(text or "")})
+        return out
+
+    return pd.Series(
+        [_resolve_row(p) for p in zip(raw.tolist(), url.tolist())],
+        index=html.index,
+    )
+
+
 # Spark-facing pandas UDFs (Arrow batch transfer, no per-row Python UDF).
 extract_text_udf = F.pandas_udf(extract_text_pandas, StringType())
 extract_links_udf = F.pandas_udf(extract_links_pandas, ArrayType(StringType()))
+extract_anchors_udf = F.pandas_udf(
+    extract_anchors_pandas,
+    ArrayType(
+        StructType(
+            [
+                StructField("dst", StringType()),
+                StructField("anchor", StringType()),
+            ]
+        )
+    ),
+)

@@ -1,6 +1,14 @@
 """Graph layer: edge materialization, BSP engine, algorithms."""
 
-from .build import adjacency, contract_graph, degrees, edges_from_pages, undirect
+from .build import (
+    adjacency,
+    anchor_index,
+    anchors_from_pages,
+    contract_graph,
+    degrees,
+    edges_from_pages,
+    undirect,
+)
 from .engine import Pregel, PregelResult
 from .pagerank import pagerank
 from .components import connected_components, connected_components_star
@@ -28,6 +36,8 @@ __all__ = [
     "delete_edges",
     "delete_vertices",
     "adjacency",
+    "anchor_index",
+    "anchors_from_pages",
     "contract_graph",
     "degrees",
     "edges_from_pages",

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..extraction import extract_links_udf
+from ..extraction import extract_anchors_udf, extract_links_udf
 
 
 def edges_from_pages(pages: DataFrame, weighted: bool = False) -> DataFrame:
@@ -41,6 +41,46 @@ def edges_from_pages(pages: DataFrame, weighted: bool = False) -> DataFrame:
     if weighted:
         return agg.select("src", "dst", F.col("n").cast("double").alias("weight"))
     return agg.select("src", "dst", F.lit(1.0).alias("weight"))
+
+
+def anchors_from_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> (src, dst, anchor): one row per <a>
+    occurrence in document order, duplicates preserved (each occurrence
+    is an independent description of the TARGET page — the signal
+    anchor-text ranking aggregates). Same single Arrow-batched UDF +
+    explode shape as :func:`edges_from_pages`; self-links dropped."""
+    return (
+        pages.select(
+            F.col("url").alias("src"),
+            F.explode(extract_anchors_udf(F.col("html"), F.col("url"))).alias("a"),
+        )
+        .select("src", F.col("a.dst").alias("dst"), F.col("a.anchor").alias("anchor"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def anchor_index(links: DataFrame, top_k: int = 3) -> DataFrame:
+    """(src, dst, anchor) -> (dst, term, n, rank): the top_k most
+    frequent lowercase anchor terms pointing at each target, ties
+    broken lexicographically — the inverted anchor-text index web
+    search builds (anchor terms describe the target better than the
+    target's own text).
+
+    Scale shape: ONE shuffle for the (dst, term) count with map-side
+    partial aggregation (hub fan-in collapses before the exchange),
+    then a per-dst top-k window over the already-collapsed distinct
+    terms — bounded by each target's anchor vocabulary, not its
+    in-degree."""
+    from pyspark.sql import Window
+
+    terms = links.select(
+        "dst", F.explode(F.split(F.lower("anchor"), " ")).alias("term")
+    ).filter(F.length("term") >= 1)
+    counts = terms.groupBy("dst", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("term"))
+    return counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
 
 
 def undirect(edges: DataFrame) -> DataFrame:

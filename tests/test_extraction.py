@@ -93,3 +93,77 @@ def test_spark_udf_byte_identity(spark, tmp_path):
     for row in res:
         assert row["spark_text"] == row["text"], row["url"]
         assert list(row["spark_links"]) == oracle_links[row["url"]], row["url"]
+
+
+# ------------------------- anchor-text extraction ----------------------
+
+ANCHOR_CASES = [
+    (b'<a href="http://t.example/a">Click <b>here</b></a>', "http://x.example/",
+     [("http://t.example/a", "Click here")]),
+    (b'<a href="http://t.example/a"></a>', "http://x.example/",
+     [("http://t.example/a", "")]),
+    # unclosed anchor yields no row (pinned); fragment-only href skipped
+    (b'<a href="http://t.example/b">no close', "http://x.example/", []),
+    (b'<a href="#frag">skip</a><a href=/rel/p>Rel &amp; Text</a>',
+     "http://x.example/base/",
+     [("http://x.example/rel/p", "Rel & Text")]),
+    (b'<a href="mailto:a@b.c">mail</a>', "http://x.example/", []),
+]
+
+
+def test_oracle_anchors_golden():
+    from pregel_spark.extraction import oracle_extract_anchors
+
+    for html, base, want in ANCHOR_CASES:
+        assert oracle_extract_anchors(html, base) == want, html
+
+
+def test_anchors_pandas_twin_matches_oracle_on_corpus():
+    from pregel_spark.extraction import (
+        extract_anchors_pandas,
+        oracle_extract_anchors,
+    )
+
+    tbl = gen_pages(n_pages=300, n_sites=8, seed=42).to_pandas()
+    got = extract_anchors_pandas(tbl["html"], tbl["url"]).tolist()
+    want = [
+        [{"dst": d, "anchor": a} for d, a in oracle_extract_anchors(h, u)]
+        for h, u in zip(tbl["html"], tbl["url"])
+    ]
+    assert got == want
+
+
+def test_anchors_from_pages_and_index(spark, tmp_path):
+    from pregel_spark.graph import anchor_index, anchors_from_pages
+
+    p = write_pages(str(tmp_path / "pages.parquet"), n_pages=200, seed=7)
+    pages = spark.read.parquet(p)
+    links = anchors_from_pages(pages)
+    rows = links.collect()
+    assert rows, "no anchors extracted"
+    # every row matches the per-document oracle
+    from pregel_spark.extraction import oracle_extract_anchors
+
+    pdf = pages.toPandas()
+    want = set()
+    for h, u in zip(pdf["html"], pdf["url"]):
+        for d, a in oracle_extract_anchors(h, u):
+            if d != u:
+                want.add((u, d, a))
+    assert {(r["src"], r["dst"], r["anchor"]) for r in rows} == want
+
+    idx = anchor_index(links, top_k=2).collect()
+    # python oracle for the aggregation
+    from collections import Counter
+
+    counts = {}
+    for r in rows:
+        for t in r["anchor"].lower().split(" "):
+            if t:
+                counts.setdefault(r["dst"], Counter())[t] += 1
+    expect = set()
+    for dst, c in counts.items():
+        ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for rank, (t, n) in enumerate(ordered, 1):
+            expect.add((dst, t, n, rank))
+    assert {(r["dst"], r["term"], r["n"], r["rank"]) for r in idx} == expect
