@@ -43,6 +43,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..tableio import CheckpointManager
 from .build import vertices_from_edges
 from .engine import (
     PregelResult,
@@ -63,6 +64,10 @@ def neighborhood_function(
     num_partitions: int | None = None,
     pre_deduped: bool = False,
     run_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    partition_metrics: bool | None = None,
 ) -> PregelResult:
     """Per-vertex ball sizes at radius ``max_radius`` (following
     out-edges). Returns (id, reach); ``metrics[t-1]['n_pairs']`` holds
@@ -74,6 +79,9 @@ def neighborhood_function(
     at scale, so the crossover is explicit and testable."""
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
+    if partition_metrics is None:
+        partition_metrics = ckpt is not None  # see pagerank.py rationale
     dedup = edges.select("src", "dst")
     if not pre_deduped:
         dedup = dedup.distinct()
@@ -125,12 +133,27 @@ def neighborhood_function(
     stepm.advance(state, superstep=1, persisted=False)
     n_pairs = state.agg(F.sum(size_col).alias("s")).collect()[0]["s"] or 0
 
-    metrics: list[dict] = []
+    start_step, metrics = 1, []
+    part_metrics: list[dict] = []
+    n_metrics_appended = 0
+    n_pmetrics_appended = 0
+    if resume and ckpt is not None:
+        latest = ckpt.latest()
+        if latest is not None:
+            st, _, meta = ckpt.load(spark, latest)
+            if meta.get("mode") != mode:
+                raise ValueError(
+                    f"checkpoint mode {meta.get('mode')!r} != requested {mode!r}"
+                )
+            state = materialize(st.repartition(n_part, "id"))
+            n_pairs = meta["n_pairs"]
+            start_step = latest + 1
+
     shufd = ShuffleDelta(spark)
     converged = False
-    superstep = 0
+    superstep = start_step - 1
     with bsp_loop_confs(spark):
-        for superstep in range(1, max_radius + 1):
+        for superstep in range(start_step, max_radius + 1):
             t0 = time.monotonic()
             # gather: every vertex pulls its out-neighbors' balls and
             # unions them — ONE exchange keyed by src; the union
@@ -148,13 +171,33 @@ def neighborhood_function(
                 .withColumnRenamed("nball", "ball"),
                 superstep,
             )
-            row = nxt.agg(
-                F.sum(size_col).alias("s"),
-                F.sum(F.col("_ch").cast("long")).alias("ch"),
-            ).collect()[0]
+            # ONE action serves N(t) + quiescence + (when enabled) the
+            # per-partition I5 rows, same pattern as pagerank.py
+            if partition_metrics:
+                prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(size_col).alias("s"),
+                    F.sum(F.col("_ch").cast("long")).alias("ch"),
+                ).collect()
+                n_pairs = sum(r["s"] or 0 for r in prows)
+                changed = sum(r["ch"] or 0 for r in prows)
+                part_metrics.extend(
+                    {
+                        "run_id": run_id,
+                        "superstep": superstep,
+                        "partition_id": r["pid"],
+                        "rows": r["rows"],
+                    }
+                    for r in prows
+                )
+            else:
+                row = nxt.agg(
+                    F.sum(size_col).alias("s"),
+                    F.sum(F.col("_ch").cast("long")).alias("ch"),
+                ).collect()[0]
+                n_pairs, changed = row["s"] or 0, row["ch"] or 0
             stepm.advance(nxt, superstep)
             state = nxt.select("id", "ball")
-            n_pairs, changed = row["s"] or 0, row["ch"] or 0
             metrics.append(
                 {
                     "run_id": run_id,
@@ -165,7 +208,22 @@ def neighborhood_function(
                     **shufd.sample(),
                 }
             )
-            if changed == 0:
+            done = changed == 0
+            if ckpt is not None and (
+                superstep % checkpoint_interval == 0 or done
+            ):
+                ckpt.save(
+                    superstep,
+                    state,
+                    meta={"mode": mode, "n_pairs": float(n_pairs)},
+                )
+                ckpt.append_metrics(spark, metrics[n_metrics_appended:])
+                n_metrics_appended = len(metrics)
+                ckpt.append_partition_metrics(
+                    spark, part_metrics[n_pmetrics_appended:]
+                )
+                n_pmetrics_appended = len(part_metrics)
+            if done:
                 converged = True
                 break
 
@@ -180,6 +238,7 @@ def neighborhood_function(
         converged=converged,
         metrics=metrics,
         run_id=run_id,
+        partition_metrics=part_metrics,
     )
 
 

@@ -46,6 +46,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..tableio import CheckpointManager
 from .build import vertices_from_edges
 from .engine import PregelResult, ShuffleDelta, bsp_loop_confs, materialize
 
@@ -104,13 +105,21 @@ def strongly_connected_components(
     trim: bool = True,
     pre_deduped: bool = False,
     run_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> PregelResult:
     """SCC of the directed graph. Returns (id, scc); ``scc`` is the
     lexicographic-min member id. ``converged`` is False if
     ``max_rounds`` outer rounds did not exhaust the graph (remaining
-    vertices are then absent from the output)."""
+    vertices are then absent from the output).
+
+    ``checkpoint_dir``: snapshot (assigned, remaining vertices) after
+    every OUTER round — the natural resume grain: rounds are the
+    expensive unit, and the remaining edge subgraph is recomputed from
+    the input in one semi-join on resume rather than stored."""
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
+    ckpt = CheckpointManager(checkpoint_dir, run_id) if checkpoint_dir else None
     dedup = edges.select("src", "dst")
     if not pre_deduped:
         dedup = dedup.distinct()
@@ -119,6 +128,8 @@ def strongly_connected_components(
     assigned = rem_v.select("id", F.col("id").alias("scc")).limit(0)
     metrics: list[dict] = []
     supersteps = 0
+    start_round = 1
+    n_metrics_appended = 0
     shufd = ShuffleDelta(spark)
     converged = False
 
@@ -129,8 +140,19 @@ def strongly_connected_components(
             .repartition(n_part, "src")
         )
 
+    if resume and ckpt is not None:
+        latest = ckpt.latest()
+        if latest is not None:
+            asg, remv, meta = ckpt.load(spark, latest)
+            assigned = materialize(asg.repartition(n_part, "id"))
+            rem_v = materialize(remv.repartition(n_part, "id"))
+            if rem_v.count():
+                rem_e = _sub_edges(rem_e, rem_v)
+            supersteps = meta.get("supersteps", 0)
+            start_round = latest + 1
+
     with bsp_loop_confs(spark):
-        for rnd in range(1, max_rounds + 1):
+        for rnd in range(start_round, max_rounds + 1):
             n_rem = rem_v.count()
             if n_rem == 0:
                 converged = True
@@ -178,6 +200,11 @@ def strongly_connected_components(
                     if n_rem:
                         rem_e = _sub_edges(rem_e, rem_v)
                 if n_rem == 0:
+                    if ckpt is not None:
+                        ckpt.save(rnd, assigned, rem_v,
+                                  meta={"supersteps": supersteps})
+                        ckpt.append_metrics(spark, metrics[n_metrics_appended:])
+                        n_metrics_appended = len(metrics)
                     continue
             # forward min-label colors to fixpoint (frontier loop)
             colors = materialize(
@@ -257,6 +284,10 @@ def strongly_connected_components(
             )
             if rem_v.count():
                 rem_e = _sub_edges(rem_e, rem_v)
+            if ckpt is not None:
+                ckpt.save(rnd, assigned, rem_v, meta={"supersteps": supersteps})
+                ckpt.append_metrics(spark, metrics[n_metrics_appended:])
+                n_metrics_appended = len(metrics)
         else:
             converged = rem_v.count() == 0
 

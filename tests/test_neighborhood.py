@@ -99,3 +99,49 @@ def test_effective_diameter_path_graph(spark):
     assert 0 < d5["effective_diameter"] < 9.0
     # N(t) totals: 10 + sum over steps
     assert d["n_pairs"][0] == 10.0 and d["n_pairs"][-1] == 55.0
+
+
+def test_neighborhood_resume_identical(spark, tmp_path):
+    from pregel_spark.tableio import CheckpointManager
+
+    pairs = _rand_pairs(21)
+    e = edges_df(spark, pairs)
+    full = neighborhood_function(spark, e, max_radius=6, mode="exact")
+
+    ck = str(tmp_path / "ck")
+    neighborhood_function(
+        spark, e, max_radius=4, mode="exact", checkpoint_dir=ck,
+        run_id="r1", checkpoint_interval=2,
+    )
+    saved = CheckpointManager(ck, "r1").completed_supersteps()
+    assert 2 in saved and 4 in saved
+    res = neighborhood_function(
+        spark, e, max_radius=6, mode="exact", checkpoint_dir=ck,
+        run_id="r1", checkpoint_interval=2, resume=True,
+    )
+    a = {r["id"]: r["reach"] for r in full.vertices.collect()}
+    b = {r["id"]: r["reach"] for r in res.vertices.collect()}
+    assert a == b
+    # per-partition rows sum to the vertex count each superstep
+    pm = CheckpointManager(ck, "r1").read_partition_metrics(spark).collect()
+    by_step = {}
+    for r in pm:
+        by_step[r["superstep"]] = by_step.get(r["superstep"], 0) + r["rows"]
+    assert by_step and all(v == len(a) for v in by_step.values())
+
+
+def test_neighborhood_resume_mode_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    pairs = _rand_pairs(22)
+    e = edges_df(spark, pairs)
+    ck = str(tmp_path / "ck")
+    neighborhood_function(
+        spark, e, max_radius=2, mode="exact", checkpoint_dir=ck,
+        run_id="r1", checkpoint_interval=1,
+    )
+    with pytest.raises(ValueError, match="checkpoint mode"):
+        neighborhood_function(
+            spark, e, max_radius=4, mode="hll", checkpoint_dir=ck,
+            run_id="r1", resume=True,
+        )

@@ -196,3 +196,24 @@ def test_bowtie_random_digraph(spark):
     res = bowtie(spark, edges_df(spark, pairs))
     got = {r["id"]: r["region"] for r in res.vertices.collect()}
     assert got == _bowtie_regions_oracle(pairs)
+
+
+def test_scc_resume_identical(spark, tmp_path):
+    from pregel_spark.tableio import CheckpointManager
+
+    pairs = [(_g(a), _g(b)) for a, b in BOWTIE_PAIRS]
+    e = edges_df(spark, pairs)
+    ck = str(tmp_path / "ck")
+    # run 1: "killed" after 1 outer round
+    part = strongly_connected_components(
+        spark, e, max_rounds=1, checkpoint_dir=ck, run_id="r1"
+    )
+    assert not part.converged
+    assert CheckpointManager(ck, "r1").completed_supersteps() == [1]
+    # run 2: resumes at round 2, finishes, matches Tarjan
+    res = strongly_connected_components(
+        spark, e, checkpoint_dir=ck, run_id="r1", resume=True
+    )
+    assert res.converged
+    got = {r["id"]: r["scc"] for r in res.vertices.collect()}
+    assert got == tarjan_scc(pairs)
