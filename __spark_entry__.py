@@ -381,6 +381,17 @@ def q_neigh_k3(spark, sf_dir):
     return res.vertices.select("id", "reach")
 
 
+def q_harmonic_k3(spark, sf_dir):
+    """Harmonic centrality truncated at radius 3 (exact mode; oracle =
+    min-distance bounded closure summing 1/d per target)."""
+    from pregel_spark.graph import harmonic_centrality
+
+    res = harmonic_centrality(
+        spark, _tri_edges(spark, sf_dir), max_radius=3, mode="exact"
+    )
+    return res.vertices.select("id", F.round("harmonic", 6).alias("harmonic"))
+
+
 def q_scc_fixture(spark, sf_dir):
     """SCC over the cyclic bowtie fixture (labels = lexicographic-min
     member; the oracle is a recursive-CTE transitive closure filtered
@@ -992,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_k8_indexed": q_sssp_k8_indexed,
         "anchor_terms_k3": q_anchor_terms_k3,
         "neigh_k3": q_neigh_k3,
+        "harmonic_k3": q_harmonic_k3,
         "scc_fixture": q_scc_fixture,
         "bowtie_fixture": q_bowtie_fixture,
         "host_graph": q_host_graph,
@@ -1144,6 +1156,20 @@ r(a, b, d) AS (SELECT id, id, 0 FROM v
                FROM r JOIN e ON e.src = r.b WHERE r.d < 3)
 SELECT a AS id, CAST(count(DISTINCT b) AS DOUBLE) AS reach
 FROM r GROUP BY a
+""",
+        "harmonic_k3": f"""
+WITH RECURSIVE e0 AS ({TRI_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e
+                               UNION ALL SELECT dst AS id FROM e) vu),
+r(a, b, d) AS (SELECT id, id, 0 FROM v
+               UNION
+               SELECT r.a, e.dst, r.d + 1
+               FROM r JOIN e ON e.src = r.b WHERE r.d < 3),
+md AS (SELECT a, b, min(d) AS d FROM r GROUP BY a, b)
+SELECT b AS id,
+       round(sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0.0 END), 6) AS harmonic
+FROM md GROUP BY b
 """,
         "scc_fixture": f"""
 WITH RECURSIVE {_SCC_CLOSURE_CTES}

@@ -18,7 +18,11 @@ from .maxprop import max_propagation
 from .hits import hits
 from .sssp import shortest_paths
 from .kcore import k_core
-from .neighborhood import effective_diameter, neighborhood_function
+from .neighborhood import (
+    effective_diameter,
+    harmonic_centrality,
+    neighborhood_function,
+)
 from .scc import bowtie, strongly_connected_components
 from .walks import random_walks
 from .mutations import (
@@ -59,4 +63,5 @@ __all__ = [
     "bowtie",
     "neighborhood_function",
     "effective_diameter",
+    "harmonic_centrality",
 ]

@@ -68,10 +68,17 @@ def neighborhood_function(
     checkpoint_interval: int = 5,
     resume: bool = False,
     partition_metrics: bool | None = None,
+    direction: str = "out",
+    harmonic: bool = False,
 ) -> PregelResult:
     """Per-vertex ball sizes at radius ``max_radius`` (following
-    out-edges). Returns (id, reach); ``metrics[t-1]['n_pairs']`` holds
-    N(t) per superstep, and the loop stops early once no ball grew.
+    out-edges; ``direction='in'`` follows reversed edges). Returns
+    (id, reach); ``metrics[t-1]['n_pairs']`` holds N(t) per superstep,
+    and the loop stops early once no ball grew.
+
+    ``harmonic=True`` additionally carries HyperBall's running
+    accumulator — the per-radius increment Δ|ball|/t — and emits it as
+    an ``h`` column (see :func:`harmonic_centrality` for semantics).
 
     ``mode='auto'`` picks exact sets below ``exact_limit`` vertices and
     HLL sketches above — mirroring ``pipeline/dedup.py``'s auto
@@ -83,6 +90,12 @@ def neighborhood_function(
     if partition_metrics is None:
         partition_metrics = ckpt is not None  # see pagerank.py rationale
     dedup = edges.select("src", "dst")
+    if direction == "in":
+        dedup = dedup.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    elif direction != "out":
+        raise ValueError(f"unknown direction {direction!r}")
     if not pre_deduped:
         dedup = dedup.distinct()
     links = materialize(dedup.repartition(n_part, "dst"))
@@ -104,6 +117,7 @@ def neighborhood_function(
                 F.coalesce("mball", F.array().cast("array<string>")),
             )
         )
+        size_of = F.size
         size_col = F.size("ball")
         # a ball that did not grow reproduces its array byte-for-byte
         # (array_distinct keeps first occurrences), so != is exact
@@ -116,6 +130,7 @@ def neighborhood_function(
         combine = F.when(
             F.col("mball").isNull(), F.col("ball")
         ).otherwise(F.hll_union("ball", "mball"))
+        size_of = F.hll_sketch_estimate
         size_col = F.hll_sketch_estimate("ball")
         # sketch BYTES may differ after a no-op union (representation
         # promotions), so quiescence compares ESTIMATES — approximate
@@ -128,6 +143,9 @@ def neighborhood_function(
         state = verts.select("id", ball)
     else:
         state = verts.groupBy("id").agg(ball)
+    if harmonic:
+        state = state.withColumn("h", F.lit(0.0))
+    state_cols = ["id", "ball"] + (["h"] if harmonic else [])
     state = materialize(state.repartition(n_part, "id"))
     stepm = StepMaterializer()
     stepm.advance(state, superstep=1, persisted=False)
@@ -141,9 +159,10 @@ def neighborhood_function(
         latest = ckpt.latest()
         if latest is not None:
             st, _, meta = ckpt.load(spark, latest)
-            if meta.get("mode") != mode:
+            if meta.get("mode") != mode or bool(meta.get("harmonic")) != harmonic:
                 raise ValueError(
-                    f"checkpoint mode {meta.get('mode')!r} != requested {mode!r}"
+                    f"checkpoint mode {meta.get('mode')!r}/harmonic="
+                    f"{meta.get('harmonic')!r} != requested {mode!r}/{harmonic}"
                 )
             state = materialize(st.repartition(n_part, "id"))
             n_pairs = meta["n_pairs"]
@@ -164,11 +183,27 @@ def neighborhood_function(
                 .agg(merge_agg)
                 .withColumnRenamed("src", "id")
             )
+            upd = state.join(msgs, "id", "left_outer").withColumn(
+                "nball", combine
+            )
+            if harmonic:
+                # HyperBall: vertices entering the ball at radius t are
+                # at distance exactly t -> they contribute 1/t
+                upd = upd.withColumn(
+                    "h",
+                    F.col("h")
+                    + (size_of(F.col("nball")) - size_of(F.col("ball"))).cast(
+                        "double"
+                    )
+                    / F.lit(float(superstep)),
+                )
             nxt = stepm.step(
-                state.join(msgs, "id", "left_outer")
-                .withColumn("nball", combine)
-                .select("id", "nball", changed_expr.alias("_ch"))
-                .withColumnRenamed("nball", "ball"),
+                upd.select(
+                    "id",
+                    "nball",
+                    *(["h"] if harmonic else []),
+                    changed_expr.alias("_ch"),
+                ).withColumnRenamed("nball", "ball"),
                 superstep,
             )
             # ONE action serves N(t) + quiescence + (when enabled) the
@@ -197,7 +232,7 @@ def neighborhood_function(
                 ).collect()[0]
                 n_pairs, changed = row["s"] or 0, row["ch"] or 0
             stepm.advance(nxt, superstep)
-            state = nxt.select("id", "ball")
+            state = nxt.select(*state_cols)
             metrics.append(
                 {
                     "run_id": run_id,
@@ -215,7 +250,11 @@ def neighborhood_function(
                 ckpt.save(
                     superstep,
                     state,
-                    meta={"mode": mode, "n_pairs": float(n_pairs)},
+                    meta={
+                        "mode": mode,
+                        "n_pairs": float(n_pairs),
+                        "harmonic": harmonic,
+                    },
                 )
                 ckpt.append_metrics(spark, metrics[n_metrics_appended:])
                 n_metrics_appended = len(metrics)
@@ -229,7 +268,9 @@ def neighborhood_function(
 
     out = materialize(
         state.select(
-            "id", size_col.cast("double").alias("reach")
+            "id",
+            size_col.cast("double").alias("reach"),
+            *(["h"] if harmonic else []),
         )
     )
     return PregelResult(
@@ -239,6 +280,41 @@ def neighborhood_function(
         metrics=metrics,
         run_id=run_id,
         partition_metrics=part_metrics,
+    )
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_radius: int = 16,
+    mode: str = "auto",
+    **kw,
+) -> PregelResult:
+    """Harmonic centrality H(v) = Σ_{u≠v reaching v} 1/d(u,v) — the
+    centrality HyperBall (Boldi-Vigna, 2013) was built to compute on
+    web graphs, and the principled replacement for closeness on
+    disconnected graphs (Axioms for Centrality, 2014). Runs the
+    neighborhood loop over REVERSED edges (balls grow over the set of
+    vertices that can reach v) accumulating Δ|ball|/t per radius —
+    vertices entering the ball at radius t sit at distance exactly t.
+    Returns (id, harmonic); exact below the auto boundary, HLL-sketch
+    estimates above it."""
+    res = neighborhood_function(
+        spark,
+        edges,
+        max_radius=max_radius,
+        mode=mode,
+        direction="in",
+        harmonic=True,
+        **kw,
+    )
+    return PregelResult(
+        vertices=res.vertices.select("id", F.col("h").alias("harmonic")),
+        supersteps=res.supersteps,
+        converged=res.converged,
+        metrics=res.metrics,
+        run_id=res.run_id,
+        partition_metrics=res.partition_metrics,
     )
 
 

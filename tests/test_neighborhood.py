@@ -145,3 +145,61 @@ def test_neighborhood_resume_mode_mismatch_raises(spark, tmp_path):
             spark, e, max_radius=4, mode="hll", checkpoint_dir=ck,
             run_id="r1", resume=True,
         )
+
+
+# --------------------------- harmonic centrality ------------------------
+
+
+def harmonic_oracle(pairs, radius):
+    adj = {}
+    verts = set()
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        verts.update((a, b))
+    acc = {v: 0.0 for v in verts}
+    for u in verts:
+        dist = {u: 0}
+        frontier = {u}
+        for d in range(1, radius + 1):
+            frontier = {
+                w for x in frontier for w in adj.get(x, ()) if w not in dist
+            }
+            if not frontier:
+                break
+            for w in frontier:
+                dist[w] = d
+                acc[w] += 1.0 / d
+    return acc
+
+
+def test_harmonic_exact_matches_bfs(spark):
+    from pregel_spark.graph import harmonic_centrality
+
+    pairs = _rand_pairs(31)
+    res = harmonic_centrality(
+        spark, edges_df(spark, pairs), max_radius=4, mode="exact"
+    )
+    got = {r["id"]: r["harmonic"] for r in res.vertices.collect()}
+    want = harmonic_oracle(pairs, 4)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+
+
+def test_harmonic_hll_tracks_exact(spark):
+    from pregel_spark.graph import harmonic_centrality
+
+    pairs = _rand_pairs(32, n=100, m=400)
+    e = edges_df(spark, pairs)
+    ex = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(spark, e, max_radius=4, mode="exact")
+        .vertices.collect()
+    }
+    ap = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(spark, e, max_radius=4, mode="hll")
+        .vertices.collect()
+    }
+    # deltas of near-exact sparse-mode estimates; small absolute slack
+    assert all(abs(ap[v] - ex[v]) <= max(0.05 * ex[v], 0.5) for v in ex)
