@@ -568,6 +568,48 @@ def q_media_features(spark, sf_dir):
     return media_feature_rows(media_from_documents(_docs(spark, sf_dir)))
 
 
+#: Deterministic messy-URL table derived from documents — shared by the
+#: Spark query and the DuckDB oracle so only the canonicalizer differs.
+#: Covers: mixed-case scheme/host, default + non-default ports, empty
+#: paths, utm params (both cases), bare '?', fragments, a non-http
+#: scheme, and NULLs.
+MESSY_URLS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 11 = 10
+                 THEN 'ftp://files.example.org/' || CAST(doc_id AS STRING)
+            WHEN doc_id % 17 = 16 THEN NULL
+            ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                 || '://'
+                 || (CASE WHEN doc_id % 3 = 0
+                          THEN 'WWW.Example' ELSE 'cdn.example' END)
+                 || CAST(doc_id % 13 AS STRING) || '.COM'
+                 || (CASE WHEN doc_id % 5 = 0
+                          THEN (CASE WHEN doc_id % 2 = 0
+                                     THEN ':80' ELSE ':443' END)
+                          WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+                 || (CASE WHEN doc_id % 4 = 0
+                          THEN '' ELSE '/Articles/' || CAST(doc_id AS STRING) END)
+                 || (CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+                                     WHEN 1 THEN '?b=2&a=1&UTM_campaign=x'
+                                     WHEN 2 THEN '?z=9'
+                                     WHEN 3 THEN '?' ELSE '' END)
+                 || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
+       END AS url
+FROM documents
+"""
+
+
+def q_canonical_urls(spark, sf_dir):
+    """Crawl-dedup URL canonicalization (extraction.canonical_url_col):
+    100% native columns, value-exact vs the DuckDB twin expression."""
+    from pregel_spark.extraction import canonical_url_col
+
+    _register_views(spark, sf_dir)
+    return spark.sql(MESSY_URLS_SQL).select(
+        "doc_id", "url", canonical_url_col("url").alias("curl")
+    )
+
+
 # ----------------- programmatic DuckDB oracle builders ----------------
 
 
@@ -1025,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_topk": q_simsearch_topk,
         "simsearch_ivf": q_simsearch_ivf,
         "media_features": q_media_features,
+        "canonical_urls": q_canonical_urls,
         "pricing_summary": _sql_query(PRICING_SQL),
         "top_customers": _sql_query(TOP_CUSTOMERS_SQL),
         "events_hourly": _sql_query(EVENTS_HOURLY_SQL),
@@ -1035,6 +1078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pregel_spark.extraction import duckdb_canonical_url as _duckdb_canonical_url
+
     edges_cte = f"e0 AS ({EDGES_SQL})"
     tri_cte = f"e0 AS ({TRI_EDGES_SQL})"
     return {
@@ -1378,6 +1423,10 @@ SELECT dims.media_id,
        COALESCE(f.value, 0.0) AS value
 FROM dims LEFT JOIN f
   ON f.media_id = dims.media_id AND f.dim = dims.dim
+""",
+        "canonical_urls": f"""
+SELECT doc_id, url, {_duckdb_canonical_url("url")} AS curl
+FROM ({MESSY_URLS_SQL}) m
 """,
         "simsearch_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

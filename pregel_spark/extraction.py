@@ -238,3 +238,124 @@ extract_anchors_udf = F.pandas_udf(
         )
     ),
 )
+
+
+# ------------------------- URL canonicalization -----------------------
+#
+# Crawl-dedup canonicalization of http(s) URLs, 100% native columns (no
+# Python row path) with a pinned pure-Python oracle and a DuckDB SQL
+# twin so the driver contract can verify it value-exactly. The
+# reference has no URL layer (its loader reads opaque vertex names,
+# pregel/loader.lua:58-130); this is north-rule webtext surface.
+#
+# Canonical form (pinned — all three implementations must agree):
+#   1. trim outer spaces (what trim() means on both engines); drop the
+#      fragment (first '#' onward)
+#   2. scheme and authority lowercased (path/query case preserved;
+#      userinfo, if any, is lowercased with the authority — documented
+#      simplification, crawl URLs carry no credentials)
+#   3. default port stripped (':80' for http, ':443' for https)
+#   4. empty path -> '/'
+#   5. query: split on '&', drop empty params and tracking params whose
+#      key starts with 'utm_' (case-insensitive), byte-sort the rest,
+#      rejoin; no surviving params -> no '?'
+#   6. anything that is not http(s)://... -> NULL (non-web scheme or
+#      unparseable); NULL in -> NULL out
+#   No percent-encoding or dot-segment normalization: '%2F' vs '/' and
+#   '/a/../b' are preserved verbatim (a crawl dedups on the exact bytes
+#   it would re-fetch).
+
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_URL_REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([\s\S]*)$"
+_URL_QUERY_RE = r"^[^?]*[?]([\s\S]*)$"
+
+
+def canonical_url_col(url: "F.Column | str"):
+    """Canonical URL as a native column expression (Catalyst codegen,
+    no UDF): regexp split into scheme/authority/rest, conditional port
+    strip, and a sort of the filtered query-param array."""
+    u = F.substring_index(F.trim(url), "#", 1)
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(u, _URL_AUTH_RE, 1))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    rest = F.regexp_extract(u, _URL_REST_RE, 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, _URL_QUERY_RE, 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != F.lit("")) & ~F.lower(x).startswith("utm_"),
+        )
+    )
+    qc = F.array_join(params, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(qc == "", F.lit("")).otherwise(F.concat(F.lit("?"), qc)),
+    )
+    return F.when(scheme.isin("http", "https"), canon).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+def oracle_canonical_url(u: str | None) -> str | None:
+    """Pinned pure-Python spec of :func:`canonical_url_col` (the golden
+    tests assert byte-identity per url, mirroring the extraction
+    invariant)."""
+    if u is None:
+        return None
+    # strip(' ') not strip(): Spark/DuckDB trim() remove spaces only
+    u = u.strip(" ").split("#", 1)[0]
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([\s\S]*)$", u)
+    if m is None:
+        return None
+    scheme, auth = m.group(1).lower(), m.group(2).lower()
+    if scheme not in ("http", "https"):
+        return None
+    auth = re.sub(":80$" if scheme == "http" else ":443$", "", auth)
+    rest = m.group(3)
+    path, _, query = rest.partition("?")
+    if path == "":
+        path = "/"
+    params = sorted(
+        p for p in query.split("&") if p != "" and not p.lower().startswith("utm_")
+    )
+    return scheme + "://" + auth + path + ("?" + "&".join(params) if params else "")
+
+
+def duckdb_canonical_url(x: str) -> str:
+    """DuckDB SQL expression computing the same canonical form of URL
+    expression ``x`` — the driver-contract oracle twin (same pattern as
+    ``pipeline.hashing.DUCKDB_HASH60``)."""
+    u = f"split_part(trim({x}), '#', 1)"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    auth_raw = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    auth = (
+        f"(CASE WHEN {scheme} = 'http' THEN regexp_replace({auth_raw}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({auth_raw}, ':443$', '') "
+        f"ELSE {auth_raw} END)"
+    )
+    rest = (
+        f"regexp_extract({u}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([\\s\\S]*)$', 1)"
+    )
+    path = f"(CASE WHEN regexp_extract({rest}, '^([^?]*)', 1) = '' THEN '/' ELSE regexp_extract({rest}, '^([^?]*)', 1) END)"
+    query = f"regexp_extract({rest}, '^[^?]*[?]([\\s\\S]*)$', 1)"
+    qc = (
+        f"coalesce(array_to_string(list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT starts_with(lower(p), 'utm_'))), '&'), '')"
+    )
+    return (
+        f"(CASE WHEN {scheme} IN ('http', 'https') THEN "
+        f"{scheme} || '://' || {auth} || {path} || "
+        f"(CASE WHEN {qc} = '' THEN '' ELSE '?' || {qc} END) "
+        f"ELSE NULL END)"
+    )

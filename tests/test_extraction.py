@@ -167,3 +167,88 @@ def test_anchors_from_pages_and_index(spark, tmp_path):
         for rank, (t, n) in enumerate(ordered, 1):
             expect.add((dst, t, n, rank))
     assert {(r["dst"], r["term"], r["n"], r["rank"]) for r in idx} == expect
+
+
+# ------------------------- URL canonicalization -----------------------
+
+TRICKY_URLS = [
+    "HTTP://WWW.Example.COM:80/Path/To/Page?b=2&a=1#frag",
+    "https://Example.com:443/",
+    "https://example.com:8443/keep-port",
+    "http://example.com",
+    "http://example.com?z=9&utm_source=feed&UTM_campaign=x&a=1",
+    "http://example.com/?",
+    "http://example.com/p?&&b=2&&a=1&",
+    "  http://padded.example.com/x  ",
+    "ftp://files.example.org/pub",
+    "mailto:someone@example.com",
+    "not a url at all",
+    "http://example.com/CaseSensitive/Path?Key=Value",
+    "http://example.com/a/../b/./c",
+    "http://example.com/percent%2Fencoded?q=%20x",
+    "http://user@example.com:80/auth",
+    "https://example.com/#",
+    "http://example.com:80",
+    "http://example.com/p?utm_source=only",
+    "",
+    None,
+]
+
+
+def test_canonical_url_python_oracle_golden():
+    from pregel_spark.extraction import oracle_canonical_url
+
+    got = [oracle_canonical_url(u) for u in TRICKY_URLS]
+    assert got == [
+        "http://www.example.com/Path/To/Page?a=1&b=2",
+        "https://example.com/",
+        "https://example.com:8443/keep-port",
+        "http://example.com/",
+        "http://example.com/?a=1&z=9",
+        "http://example.com/",
+        "http://example.com/p?a=1&b=2",
+        "http://padded.example.com/x",
+        None,
+        None,
+        None,
+        "http://example.com/CaseSensitive/Path?Key=Value",
+        "http://example.com/a/../b/./c",
+        "http://example.com/percent%2Fencoded?q=%20x",
+        "http://user@example.com/auth",
+        "https://example.com/",
+        "http://example.com/",
+        "http://example.com/p",
+        None,
+        None,
+    ]
+
+
+def test_canonical_url_spark_matches_oracle(spark):
+    from pregel_spark.extraction import canonical_url_col, oracle_canonical_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(TRICKY_URLS)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["curl"]
+        for r in df.select("i", canonical_url_col("url").alias("curl")).collect()
+    }
+    for i, u in enumerate(TRICKY_URLS):
+        assert got[i] == oracle_canonical_url(u), (i, u, got[i])
+
+
+def test_canonical_url_duckdb_matches_oracle():
+    import duckdb
+
+    from pregel_spark.extraction import duckdb_canonical_url, oracle_canonical_url
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls (i INT, url VARCHAR)")
+    con.executemany(
+        "INSERT INTO urls VALUES (?, ?)", list(enumerate(TRICKY_URLS))
+    )
+    rows = con.execute(
+        f"SELECT i, {duckdb_canonical_url('url')} AS curl FROM urls ORDER BY i"
+    ).fetchall()
+    for i, curl in rows:
+        assert curl == oracle_canonical_url(TRICKY_URLS[i]), (i, TRICKY_URLS[i], curl)
