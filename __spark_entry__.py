@@ -599,6 +599,15 @@ FROM documents
 """
 
 
+def q_sample_subgraph(spark, sf_dir):
+    """Deterministic vertex-induced subgraph sample (fraction 0.5,
+    seed 7) — membership is a pure function of (id, seed) via the
+    portable hash, so DuckDB reproduces the exact surviving edge set."""
+    from pregel_spark.graph import sample_subgraph
+
+    return sample_subgraph(_edges(spark, sf_dir), fraction=0.5, seed=7)
+
+
 def q_canonical_urls(spark, sf_dir):
     """Crawl-dedup URL canonicalization (extraction.canonical_url_col):
     100% native columns, value-exact vs the DuckDB twin expression."""
@@ -1068,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf": q_simsearch_ivf,
         "media_features": q_media_features,
         "canonical_urls": q_canonical_urls,
+        "sample_subgraph": q_sample_subgraph,
         "pricing_summary": _sql_query(PRICING_SQL),
         "top_customers": _sql_query(TOP_CUSTOMERS_SQL),
         "events_hourly": _sql_query(EVENTS_HOURLY_SQL),
@@ -1079,6 +1089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from pregel_spark.extraction import duckdb_canonical_url as _duckdb_canonical_url
+    from pregel_spark.graph.build import (
+        duckdb_vertex_sample_pred as _duckdb_sample_pred,
+    )
 
     edges_cte = f"e0 AS ({EDGES_SQL})"
     tri_cte = f"e0 AS ({TRI_EDGES_SQL})"
@@ -1427,6 +1440,12 @@ FROM dims LEFT JOIN f
         "canonical_urls": f"""
 SELECT doc_id, url, {_duckdb_canonical_url("url")} AS curl
 FROM ({MESSY_URLS_SQL}) m
+""",
+        "sample_subgraph": f"""
+WITH {edges_cte}
+SELECT src, dst, weight FROM e0
+WHERE ({_duckdb_sample_pred("src", 0.5, 7)})
+  AND ({_duckdb_sample_pred("dst", 0.5, 7)})
 """,
         "simsearch_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

@@ -7,7 +7,9 @@ from .build import (
     contract_graph,
     degrees,
     edges_from_pages,
+    sample_subgraph,
     undirect,
+    vertex_sample_pred,
 )
 from .engine import Pregel, PregelResult
 from .pagerank import pagerank
@@ -45,7 +47,9 @@ __all__ = [
     "contract_graph",
     "degrees",
     "edges_from_pages",
+    "sample_subgraph",
     "undirect",
+    "vertex_sample_pred",
     "Pregel",
     "PregelResult",
     "pagerank",

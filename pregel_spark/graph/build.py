@@ -266,3 +266,46 @@ def contract_graph(
         F.sum("weight").alias("weight"),
         F.count(F.lit(1)).alias("n_edges"),
     )
+
+
+def vertex_sample_pred(col, fraction: float, seed: int = 0):
+    """Boolean Column: keep vertex ``col`` with probability ~fraction,
+    decided by the portable seeded 60-bit hash (``pipeline/hashing``),
+    NOT ``df.sample`` — so membership is a pure function of (id, seed):
+    identical across runs, partitionings, engines (DuckDB twin below),
+    and across every table the id appears in. That last property is
+    what makes vertex-INDUCED sampling possible with zero joins.
+    Resolution 1e-6 (fraction is quantized to ppm)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    from ..pipeline.hashing import seeded_hash60
+
+    return F.pmod(seeded_hash60(seed, col), F.lit(1_000_000)) < int(
+        round(fraction * 1_000_000)
+    )
+
+
+def sample_subgraph(edges: DataFrame, fraction: float, seed: int = 0) -> DataFrame:
+    """Deterministic vertex-induced subgraph: an edge survives iff BOTH
+    endpoints pass :func:`vertex_sample_pred`. The dev-at-scale slice —
+    iterate on fraction=0.01 of a 100 TB graph with degree structure
+    intact *within* the sample (every kept vertex keeps exactly its
+    edges to other kept vertices, unlike independent edge sampling).
+
+    Scale shape: a single filter evaluated at the scan — no shuffle, no
+    join, no state; E[surviving edges] = fraction^2 * |E|.
+    """
+    return edges.filter(
+        vertex_sample_pred(F.col("src"), fraction, seed)
+        & vertex_sample_pred(F.col("dst"), fraction, seed)
+    )
+
+
+def duckdb_vertex_sample_pred(x: str, fraction: float, seed: int = 0) -> str:
+    """DuckDB twin of :func:`vertex_sample_pred` (oracle surface)."""
+    from ..pipeline.hashing import duckdb_seeded_hash60
+
+    return (
+        f"(({duckdb_seeded_hash60(seed, x)}) % 1000000) < "
+        f"{int(round(fraction * 1_000_000))}"
+    )
