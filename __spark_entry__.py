@@ -599,6 +599,14 @@ FROM documents
 """
 
 
+def q_degree_hist(spark, sf_dir):
+    """Log2-binned in/out-degree histogram (power-law check); bins are
+    exact base-2 string lengths so both engines agree bit-for-bit."""
+    from pregel_spark.graph import degree_histogram
+
+    return degree_histogram(_edges(spark, sf_dir))
+
+
 def q_sample_subgraph(spark, sf_dir):
     """Deterministic vertex-induced subgraph sample (fraction 0.5,
     seed 7) — membership is a pure function of (id, seed) via the
@@ -1078,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "canonical_urls": q_canonical_urls,
         "sample_subgraph": q_sample_subgraph,
+        "degree_hist": q_degree_hist,
         "pricing_summary": _sql_query(PRICING_SQL),
         "top_customers": _sql_query(TOP_CUSTOMERS_SQL),
         "events_hourly": _sql_query(EVENTS_HOURLY_SQL),
@@ -1446,6 +1455,29 @@ WITH {edges_cte}
 SELECT src, dst, weight FROM e0
 WHERE ({_duckdb_sample_pred("src", 0.5, 7)})
   AND ({_duckdb_sample_pred("dst", 0.5, 7)})
+""",
+        "degree_hist": f"""
+WITH {edges_cte},
+out_d AS (SELECT src AS id, count(*) AS out_deg FROM e0 GROUP BY src),
+in_d AS (SELECT dst AS id, count(*) AS in_deg FROM e0 GROUP BY dst),
+ids AS (SELECT id FROM out_d UNION SELECT id FROM in_d),
+d AS (SELECT ids.id,
+             COALESCE(out_d.out_deg, 0) AS out_deg,
+             COALESCE(in_d.in_deg, 0) AS in_deg
+      FROM ids LEFT JOIN out_d ON ids.id = out_d.id
+               LEFT JOIN in_d ON ids.id = in_d.id),
+u AS (
+  SELECT 'out' AS kind,
+         CAST(CASE WHEN out_deg = 0 THEN -1
+                   ELSE length(printf('%b', out_deg)) - 1 END AS INTEGER) AS bin
+  FROM d
+  UNION ALL
+  SELECT 'in' AS kind,
+         CAST(CASE WHEN in_deg = 0 THEN -1
+                   ELSE length(printf('%b', in_deg)) - 1 END AS INTEGER) AS bin
+  FROM d
+)
+SELECT kind, bin, count(*) AS n_vertices FROM u GROUP BY kind, bin
 """,
         "simsearch_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

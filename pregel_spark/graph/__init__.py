@@ -5,6 +5,7 @@ from .build import (
     anchor_index,
     anchors_from_pages,
     contract_graph,
+    degree_histogram,
     degrees,
     edges_from_pages,
     sample_subgraph,
@@ -45,6 +46,7 @@ __all__ = [
     "anchor_index",
     "anchors_from_pages",
     "contract_graph",
+    "degree_histogram",
     "degrees",
     "edges_from_pages",
     "sample_subgraph",

@@ -309,3 +309,30 @@ def duckdb_vertex_sample_pred(x: str, fraction: float, seed: int = 0) -> str:
         f"(({duckdb_seeded_hash60(seed, x)}) % 1000000) < "
         f"{int(round(fraction * 1_000_000))}"
     )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Log2-binned in/out-degree histogram — the first plot drawn of
+    any web graph (power-law check; hub mass). Returns
+    (kind, bin, n_vertices) with kind in ('in','out') and
+    bin = floor(log2(degree)) for degree >= 1, -1 for degree 0
+    (vertices with no edges in that direction).
+
+    The bin is computed EXACTLY as base-2 string length - 1
+    (``conv(deg, 10, 2)``), not floating ``log2`` — double rounding at
+    2^k boundaries could differ between engines, and the DuckDB twin
+    (``length(printf('%b', deg)) - 1``) must agree bit-for-bit.
+    Scale shape: two partial-agg shuffles over O(V) degree rows.
+    """
+    deg = degrees(edges)  # (id, out_deg, in_deg)
+    def binned(col):
+        return F.when(F.col(col) == 0, F.lit(-1)).otherwise(
+            (F.length(F.conv(F.col(col).cast("string"), 10, 2)) - 1).cast("int")
+        )
+    out = deg.select(F.lit("out").alias("kind"), binned("out_deg").alias("bin"))
+    inn = deg.select(F.lit("in").alias("kind"), binned("in_deg").alias("bin"))
+    return (
+        out.unionByName(inn)
+        .groupBy("kind", "bin")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )

@@ -246,3 +246,20 @@ def test_personalized_pagerank(spark):
     # mass concentrates on/near sources; far component without source
     # mass only via its own source f
     assert got["f"] + got["g"] > 0.3
+
+
+def test_degree_histogram_bins(spark):
+    from pregel_spark.graph import degree_histogram
+
+    # star: hub -> 9 leaves (out_deg 9 -> bin 3), leaves out_deg 0;
+    # leaves in_deg 1 -> bin 0, hub in_deg 0 -> bin -1
+    e = edges_df(spark, [("hub", f"l{i}") for i in range(9)])
+    got = {
+        (r.kind, r.bin): r.n_vertices for r in degree_histogram(e).collect()
+    }
+    assert got == {
+        ("out", 3): 1,
+        ("out", -1): 9,
+        ("in", 0): 9,
+        ("in", -1): 1,
+    }
