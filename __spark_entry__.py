@@ -138,6 +138,23 @@ FROM customer
 WHERE c_custkey + 2 <= (SELECT max(c_custkey) FROM customer)
 """
 
+# circulant chain with the c%3==0 links reciprocated — the dyad
+# fixture for reciprocity (both engines build it from this same text)
+RECIP_EDGES_SQL = """
+SELECT 'c' || CAST(c_custkey AS STRING) AS src,
+       'c' || CAST(c_custkey + 1 AS STRING) AS dst,
+       CAST(1.0 AS DOUBLE) AS weight
+FROM customer
+WHERE c_custkey + 1 <= (SELECT max(c_custkey) FROM customer)
+UNION ALL
+SELECT 'c' || CAST(c_custkey + 1 AS STRING) AS src,
+       'c' || CAST(c_custkey AS STRING) AS dst,
+       CAST(1.0 AS DOUBLE) AS weight
+FROM customer
+WHERE c_custkey % 3 = 0
+  AND c_custkey + 1 <= (SELECT max(c_custkey) FROM customer)
+"""
+
 # host-level rollup of the part-supplier link graph: page->host analog
 # ('p123' -> 'hp3'); shared text so both engines build identical groups
 HOST_EDGES_SQL = f"""
@@ -450,6 +467,41 @@ def q_kcore3_r4(spark, sf_dir):
 
     res = k_core(spark, _tri_edges(spark, sf_dir), k=3, max_rounds=4)
     return res.vertices.select("id")
+
+
+def q_clustering(spark, sf_dir):
+    from pregel_spark.graph import clustering_coefficient
+
+    return clustering_coefficient(_tri_edges(spark, sf_dir)).select(
+        "id", "deg", "triangles", F.round("lcc", 6).alias("lcc")
+    )
+
+
+def q_reciprocity(spark, sf_dir):
+    from pregel_spark.graph import reciprocity
+
+    _register_views(spark, sf_dir)
+    return reciprocity(spark.sql(RECIP_EDGES_SQL)).select(
+        "n_edges", "n_reciprocal", F.round("reciprocity", 6).alias("reciprocity")
+    )
+
+
+def q_assortativity(spark, sf_dir):
+    from pregel_spark.graph import degree_assortativity
+
+    return degree_assortativity(_edges(spark, sf_dir)).select(
+        "n_pairs", F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+def q_adamic_adar(spark, sf_dir):
+    from pregel_spark.graph import adamic_adar
+
+    # p-s bipartite graph: supplier hubs (deg ~600) are over the
+    # center cutoff at every sf, so pairs come from part centers only
+    return adamic_adar(
+        _edges(spark, sf_dir), min_common=2, max_center_degree=100
+    ).select("u", "w", "n_common", F.round("aa_score", 6).alias("aa_score"))
 
 
 def q_random_walks_l3(spark, sf_dir):
@@ -1087,6 +1139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "sample_subgraph": q_sample_subgraph,
         "degree_hist": q_degree_hist,
+        "clustering_coeff": q_clustering,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "adamic_adar": q_adamic_adar,
         "pricing_summary": _sql_query(PRICING_SQL),
         "top_customers": _sql_query(TOP_CUSTOMERS_SQL),
         "events_hourly": _sql_query(EVENTS_HOURLY_SQL),
@@ -1478,6 +1534,66 @@ u AS (
   FROM d
 )
 SELECT kind, bin, count(*) AS n_vertices FROM u GROUP BY kind, bin
+""",
+        "clustering_coeff": f"""
+WITH {tri_cte},
+{_UE_CTE},
+deg AS (SELECT src AS id, count(*) AS deg FROM ue GROUP BY src),
+tri AS (
+  SELECT e1.src AS id, count(*) AS triangles
+  FROM ue e1
+  JOIN ue e2 ON e2.src = e1.src AND e1.dst < e2.dst
+  JOIN ue e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+  GROUP BY e1.src
+)
+SELECT d.id, d.deg, COALESCE(t.triangles, 0) AS triangles,
+       CASE WHEN d.deg < 2 THEN 0.0
+            ELSE round(2.0 * COALESCE(t.triangles, 0)
+                       / (d.deg * (d.deg - 1.0)), 6) END AS lcc
+FROM deg d LEFT JOIN tri t ON t.id = d.id
+""",
+        "reciprocity": f"""
+WITH e0 AS ({RECIP_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+f AS (SELECT e.src, e.dst,
+             CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS has_rev
+      FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src)
+SELECT count(*) AS n_edges,
+       sum(has_rev) AS n_reciprocal,
+       round(CAST(sum(has_rev) AS DOUBLE) / count(*), 6) AS reciprocity
+FROM f
+""",
+        "assortativity": f"""
+WITH {edges_cte},
+{_UE_CTE},
+deg AS (SELECT src AS id, count(*) AS deg FROM ue GROUP BY src),
+p AS (SELECT du.deg AS dx, dv.deg AS dy
+      FROM ue JOIN deg du ON du.id = ue.src JOIN deg dv ON dv.id = ue.dst),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx
+      FROM p)
+SELECT n AS n_pairs,
+       round(CAST(n * sxy - sx * sx AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+FROM s
+""",
+        "adamic_adar": f"""
+WITH {edges_cte},
+{_UE_CTE},
+deg AS (SELECT src AS id, count(*) AS deg FROM ue GROUP BY src),
+nb AS (SELECT ue.src AS v, ue.dst AS x, 1.0 / ln(d.deg) AS inv_ln
+       FROM ue JOIN deg d ON d.id = ue.src WHERE d.deg <= 100),
+p AS (SELECT a.x AS u, b.x AS w,
+             count(*) AS n_common, sum(a.inv_ln) AS aa
+      FROM nb a JOIN nb b ON b.v = a.v AND a.x < b.x
+      GROUP BY a.x, b.x
+      HAVING count(*) >= 2)
+SELECT p.u, p.w, p.n_common, round(p.aa, 6) AS aa_score
+FROM p
+WHERE NOT EXISTS (SELECT 1 FROM ue
+                  WHERE ue.src = p.u AND ue.dst = p.w)
 """,
         "simsearch_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

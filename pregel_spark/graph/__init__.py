@@ -27,6 +27,12 @@ from .neighborhood import (
     neighborhood_function,
 )
 from .scc import bowtie, strongly_connected_components
+from .structure import (
+    adamic_adar,
+    clustering_coefficient,
+    degree_assortativity,
+    reciprocity,
+)
 from .walks import random_walks
 from .mutations import (
     add_edges,
@@ -70,4 +76,8 @@ __all__ = [
     "neighborhood_function",
     "effective_diameter",
     "harmonic_centrality",
+    "adamic_adar",
+    "clustering_coefficient",
+    "degree_assortativity",
+    "reciprocity",
 ]

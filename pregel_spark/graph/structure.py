@@ -1,0 +1,187 @@
+"""Structural graph statistics: clustering coefficient, reciprocity,
+degree assortativity, and common-neighbor link prediction.
+
+These are the one-pass descriptive statistics every web-graph study
+reports next to PageRank/CC (reference scope: the engine's analytics
+surface; no per-file counterpart — the reference ships only the BSP
+loops, SURVEY.md §2.9 extras). All are pure DataFrame compositions —
+no iteration, no Python row path — and every float that crosses the
+oracle boundary is either derived from integer-exact sufficient
+statistics or explicitly rounded in the contract query.
+
+Scale notes per function are inline; the common theme is that each is
+a constant number of partial-agg shuffles over O(E) or O(V), except
+``adamic_adar`` whose wedge fan-out is explicitly capped by
+``max_center_degree`` (the same df-cutoff idiom as
+``pipeline.dedup.max_shingle_df``) so hub centers can never explode
+the candidate-pair join at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .build import undirect
+from .triangles import triangle_count_per_vertex
+
+
+def _udeg(ue: DataFrame) -> DataFrame:
+    """Undirected degree from a symmetrized edge set: (id, deg)."""
+    return ue.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient on the undirected
+    simple graph: (id, deg, triangles, lcc) with
+    ``lcc = 2*T(v) / (deg(v) * (deg(v) - 1))`` and 0.0 when deg < 2.
+
+    Reuses the degree-ordered-orientation triangle counter
+    (``triangles.py``) so the wedge join is arboricity-bounded — the
+    naive "count closed wedges per center" explodes on hubs; this
+    never does. Two extra O(V) joins on top of the triangle pass.
+    The lcc division is (int, int) -> double, identical IEEE ops in
+    any engine given equal integers, so the value is portable without
+    rounding (contract queries still round to 6 for hygiene).
+    """
+    tri = triangle_count_per_vertex(edges)  # (id, triangles), 0-filled
+    deg = _udeg(undirect(edges))
+    return tri.join(deg, "id").select(
+        "id",
+        "deg",
+        "triangles",
+        F.when(F.col("deg") < 2, F.lit(0.0))
+        .otherwise(
+            (2.0 * F.col("triangles")) / (F.col("deg") * (F.col("deg") - 1.0))
+        )
+        .alias("lcc"),
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One-row (n_edges, n_reciprocal, reciprocity) over the directed
+    simple graph (self-loops and duplicate arcs removed first).
+
+    ``reciprocity`` is the classic dyad ratio: the fraction of arcs
+    whose reverse arc also exists. For a crawl graph this measures
+    mutual linking (blogrolls, nav templates) vs one-way citation.
+    Cost: one distinct + one self-equi-join on (src, dst) — both
+    hash-partitioned on the same key pair, and the join is
+    partial-agg-free but 1:0/1:1 so no fan-out. O(E) shuffle twice.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_r")
+    )
+    return (
+        e.join(rev, ["src", "dst"], "left_outer")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.coalesce(F.sum("_r"), F.lit(0)).alias("n_reciprocal"),
+        )
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            (F.col("n_reciprocal") / F.col("n_edges")).alias("reciprocity"),
+        )
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row degree assortativity (Newman 2002): the Pearson
+    correlation of the endpoint degrees over every ordered copy of
+    every undirected edge. Negative for web-like graphs (hubs link to
+    leaves), positive for social graphs.
+
+    Engine-portable by construction: the five sufficient statistics
+    (n, Σx, Σxy, Σx², with Σy=Σx and Σy²=Σx² by symmetry of the
+    symmetrized pair set) are BIGINT sums of BIGINT products — exact
+    and order-independent — and the final r is computed from those
+    integers with the same IEEE double ops in any engine. No
+    ``corr()`` builtin (whose float accumulation order differs per
+    engine/partitioning). Overflow headroom: Σxy < E·maxdeg², fine
+    through ~10^18 (E=10^12 needs the decimal path — documented, not
+    hit at any test scale).
+
+    Shape: one degree agg (O(E) partial-agg shuffle) + two O(E)
+    broadcast-or-shuffle joins + a scalar agg. Shifting both
+    variables by a constant leaves Pearson r unchanged, so the
+    deg-vs-excess-deg convention ambiguity does not exist here.
+    """
+    ue = undirect(edges).select("src", "dst")
+    deg = _udeg(ue)
+    pairs = (
+        ue.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "dx"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "dy"), "dst")
+        .select(F.col("dx").cast("long").alias("dx"), F.col("dy").cast("long").alias("dy"))
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        (num.cast("double") / den.cast("double")).alias("assortativity"),
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_center_degree: int | None = 100,
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected simple
+    graph: for every non-adjacent unordered pair (u, w) sharing at
+    least ``min_common`` neighbors, return
+    (u, w, n_common, aa_score) where
+    ``aa_score = Σ_{v ∈ N(u) ∩ N(w)} 1 / ln(deg(v))``
+    (Adamic-Adar 2003; every common neighbor v has deg(v) ≥ 2, so
+    ln(deg) > 0). Pairs are canonical u < w.
+
+    Scale: the wedge self-join fans out quadratically in the CENTER
+    degree, so centers above ``max_center_degree`` are skipped — the
+    standard LSH/posting-list cutoff (cf. ``dedup.max_shingle_df``):
+    a mega-hub's neighbor pairs carry ~1/ln(hub) ≈ 0 signal each and
+    would alone dominate the join cost. The cutoff is a pure function
+    of the exact integer degree, so an external oracle applies it
+    identically. With cutoff d, work is Σ_centers deg² ≤ E·d — linear
+    in E. n_common is integer-exact; aa_score is a small float sum
+    (round it at the contract boundary).
+    """
+    ue = undirect(edges).select("src", "dst")
+    deg = _udeg(ue)
+    centers = deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv")
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("dv") <= max_center_degree)
+    nbrs = (
+        ue.select(F.col("src").alias("v"), F.col("dst").alias("x"))
+        .join(centers, "v")
+        .select("v", "x", (1.0 / F.log(F.col("dv").cast("double"))).alias("inv_ln"))
+    )
+    a = nbrs.select("v", F.col("x").alias("u"), "inv_ln")
+    b = nbrs.select("v", F.col("x").alias("w"))
+    pairs = (
+        a.join(b, "v")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("inv_ln").alias("aa_score"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    adj = ue.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("w")
+    )
+    return pairs.join(adj, ["u", "w"], "left_anti").select(
+        "u", "w", "n_common", "aa_score"
+    )
