@@ -41,7 +41,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tableio import CheckpointManager
 from .build import vertices_from_edges
-from .engine import PregelResult, StepMaterializer, bsp_loop_confs, materialize
+from .engine import (
+    PregelResult,
+    ShuffleDelta,
+    StepMaterializer,
+    bsp_loop_confs,
+    materialize,
+)
 from .skew import salted_sum
 
 
@@ -236,6 +242,7 @@ def pagerank(
             n = meta["n"]
             start_step = latest + 1
 
+    shufd = ShuffleDelta(spark)
     with bsp_loop_confs(spark):
         converged = False
         superstep = start_step - 1
@@ -319,6 +326,7 @@ def pagerank(
                     "superstep": superstep,
                     "wall_ms": (time.monotonic() - t0) * 1000,
                     "delta_max": max_delta,
+                    **shufd.sample(),
                 }
             )
             done = tol > 0 and max_delta < tol

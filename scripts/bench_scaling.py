@@ -104,6 +104,13 @@ def main():
         "scaling_efficiency_incl_setup": round(eff_total, 4),
         "pass_gate_0.8": eff >= 0.8,
     }
+    if "edges_per_sec_steady" in low and "edges_per_sec_steady" in high:
+        # min-of-steps estimator: steal-resistant (see worker docstring)
+        result["scaling_efficiency_steady"] = round(
+            (high["edges_per_sec_steady"] / low["edges_per_sec_steady"])
+            / ratio,
+            4,
+        )
     out_name = (
         "BENCH_SCALING.json" if algo == "pagerank"
         else f"BENCH_SCALING_{algo}.json"

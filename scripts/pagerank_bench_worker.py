@@ -29,6 +29,10 @@ def main():
         f"pagerank-scaling-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 32),
+        # UI on so the loop's ShuffleDelta records per-superstep
+        # shuffle-byte deltas (engine.shuffle_totals) — the
+        # exchange-volume-invariance evidence in BASELINE.md
+        extra_conf={"spark.ui.enabled": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     if sf_dir.endswith(".edges.parquet") or os.path.exists(
@@ -46,6 +50,11 @@ def main():
     res = pagerank(spark, edges, tol=tol, max_iter=max_iter, pre_deduped=True)
     wall = time.monotonic() - t0
     loop_sec = sum(m["wall_ms"] for m in res.metrics) / 1000.0
+    # steady-state estimator: the fastest superstep. Hypervisor steal
+    # can only ADD wall time to a fixed-shape superstep, so min-of-steps
+    # is the least-contaminated observation (same rationale as
+    # scripts/membw_probe.py's max-of-reps).
+    min_step_ms = min(m["wall_ms"] for m in res.metrics)
     out = {
         "cpus": cpus,
         "sf_dir": sf_dir,
@@ -58,7 +67,19 @@ def main():
         "edges_per_sec": round(n_edges * res.supersteps / loop_sec, 1),
         "edges_per_sec_incl_setup": round(n_edges * res.supersteps / wall, 1),
         "supersteps_per_hour": round(res.supersteps / loop_sec * 3600, 1),
+        "min_step_ms": round(min_step_ms, 1),
+        "edges_per_sec_steady": round(n_edges / (min_step_ms / 1000.0), 1),
         "step_walls_ms": [round(m["wall_ms"], 1) for m in res.metrics],
+        "step_shuffle_write_mb": [
+            round(m["shuffle_write_bytes"] / 1e6, 1)
+            for m in res.metrics
+            if "shuffle_write_bytes" in m
+        ],
+        "step_shuffle_read_mb": [
+            round(m["shuffle_read_bytes"] / 1e6, 1)
+            for m in res.metrics
+            if "shuffle_read_bytes" in m
+        ],
     }
     print("BENCHJSON:" + json.dumps(out))
     spark.stop()
