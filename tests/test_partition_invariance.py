@@ -1,0 +1,114 @@
+"""Partition-layout invariance: every algorithm must produce the SAME
+result regardless of how the input happens to be partitioned — the
+distributed-correctness property that makes results reproducible when
+the same table is read by 8 or by 1000 executors (or re-bucketed
+between runs). Layouts exercised: a single partition, a prime hash
+partition count, and a skewed coalesce; each compared value-exact to
+the baseline layout.
+
+The risky paths this pins down:
+- LPA's tie-break (max(struct(n, -label))) must not fall back to
+  partition order;
+- the engine's numeric-id assignment (order-preserving id map /
+  xxhash64) must not leak monotonically_increasing_id layout;
+- minhash LSH band-bucketing and the near-dup keeper (min id) must be
+  pure functions of content.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pregel_spark.graph import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from pregel_spark.pipeline.dedup import minhash_lsh_pairs, near_dup_clusters
+from tests.conftest import edges_df
+from tests.graphs import TOY7, two_components
+
+
+def _layouts(df):
+    return [
+        df,
+        df.repartition(1),
+        df.repartition(7, "src") if "src" in df.columns else df.repartition(7),
+        df.coalesce(2),
+    ]
+
+
+def _canon(df):
+    return sorted(
+        tuple(str(v) for v in row) for row in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def graph_pairs():
+    return two_components(seed=7, n=30, p=0.15) + TOY7
+
+
+def test_pagerank_invariant_to_layout(spark, graph_pairs):
+    base = None
+    for layout in _layouts(edges_df(spark, graph_pairs)):
+        res = pagerank(spark, layout, tol=0.0, max_iter=3)
+        got = sorted(
+            (r["id"], round(r["rank"], 12)) for r in res.vertices.collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base
+
+
+def test_lpa_invariant_to_layout(spark, graph_pairs):
+    base = None
+    for layout in _layouts(edges_df(spark, graph_pairs)):
+        res = label_propagation(spark, layout, max_iter=4)
+        got = sorted((r["id"], r["label"]) for r in res.vertices.collect())
+        if base is None:
+            base = got
+        else:
+            assert got == base
+
+
+def test_cc_invariant_to_layout(spark, graph_pairs):
+    base = None
+    for layout in _layouts(edges_df(spark, graph_pairs)):
+        res = connected_components(spark, layout)
+        got = sorted((r["id"], r["component"]) for r in res.vertices.collect())
+        if base is None:
+            base = got
+        else:
+            assert got == base
+
+
+def test_triangles_invariant_to_layout(spark, graph_pairs):
+    counts = {
+        triangle_count(layout).collect()[0]["n_triangles"]
+        for layout in _layouts(edges_df(spark, graph_pairs))
+    }
+    assert len(counts) == 1
+
+
+def test_minhash_and_clusters_invariant_to_layout(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    layouts = [docs, docs.repartition(1), docs.repartition(11, "doc_id")]
+    base_pairs = base_clusters = None
+    for layout in layouts:
+        pairs = _canon(
+            minhash_lsh_pairs(layout, threshold=0.5).select("a", "b")
+        )
+        clusters = _canon(
+            near_dup_clusters(spark, layout, threshold=0.2).orderBy("doc_id")
+        )
+        if base_pairs is None:
+            base_pairs, base_clusters = pairs, clusters
+        else:
+            assert pairs == base_pairs
+            assert clusters == base_clusters
