@@ -106,9 +106,13 @@ class ShuffleDelta:
         cur = shuffle_totals(self._spark)
         out: dict = {}
         if cur is not None and self._prev is not None:
+            # spark.ui.retainedStages eviction can shrink the completed-
+            # stage sum in very long runs; floor at 0 so such a window
+            # records a conservative delta, never garbage negatives
+            # (measurement workers raise the retention limit)
             out = {
-                "shuffle_write_bytes": cur[0] - self._prev[0],
-                "shuffle_read_bytes": cur[1] - self._prev[1],
+                "shuffle_write_bytes": max(0, cur[0] - self._prev[0]),
+                "shuffle_read_bytes": max(0, cur[1] - self._prev[1]),
             }
         self._prev = cur
         return out
@@ -152,10 +156,11 @@ def bsp_loop_confs(spark: SparkSession):
 class StepMaterializer:
     """Per-superstep materialization policy for loop-carried DataFrames.
 
-    ``localCheckpoint`` truncates lineage but DROPS partitioning
-    metadata (the plan shows ``UnknownPartitioning``), forcing every
-    subsequent join to re-exchange BOTH sides. ``persist`` keeps the
-    logical plan — but in a BSP superstep the new state references the
+    ``localCheckpoint`` truncates lineage and (measured on Spark 4.1,
+    see ``materialize``) PRESERVES the physical ``outputPartitioning``
+    — a state table checkpointed after ``repartition(n, key)`` re-joins
+    on ``key`` with one exchange on the other side only. ``persist``
+    keeps the logical plan — but in a BSP superstep the new state references the
     old state TWICE (gather join + message derivation), so an uncut
     logical plan DOUBLES in tree size every superstep: measured
     consequence is exponential planning time and a driver

@@ -86,6 +86,10 @@ def label_propagation(
     over a long low-churn tail; see the module docstring's A/B)."""
     if mode == "auto":
         mode = "rescatter"
+    if mode not in ("rescatter", "frontier"):
+        raise ValueError(
+            f"unknown mode {mode!r}: expected 'auto', 'rescatter' or 'frontier'"
+        )
     if mode == "frontier" and not numeric_ids:
         raise ValueError("mode='frontier' requires numeric_ids=True")
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))

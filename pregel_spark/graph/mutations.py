@@ -19,6 +19,19 @@ it properly (delete both directions) rather than replicate the gap.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can sort/min a column of this type (maps cannot,
+    anywhere in the nesting)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def add_vertices(vertices: DataFrame, new: DataFrame) -> DataFrame:
@@ -30,10 +43,14 @@ def add_vertices(vertices: DataFrame, new: DataFrame) -> DataFrame:
     barrier path). Duplicate ids WITHIN one batch resolve
     deterministically too: the kept row is the minimum over the value
     columns' struct (lexicographic field order), not an arbitrary
-    partition-dependent pick."""
+    partition-dependent pick. Map-typed value columns are not
+    orderable in Spark, so tables containing one fall back to
+    ``dropDuplicates`` — intra-batch duplicate ids then resolve to an
+    unspecified row (conflicts with EXISTING vertices stay
+    deterministic either way via the anti-join)."""
     vcols = [c for c in vertices.columns if c != "id"]
     batch = new.select(*vertices.columns)
-    if vcols:
+    if vcols and all(_orderable(vertices.schema[c].dataType) for c in vcols):
         batch = (
             batch.groupBy("id")
             .agg(F.min(F.struct(*vcols)).alias("_s"))

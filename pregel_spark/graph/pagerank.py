@@ -192,6 +192,10 @@ def pagerank(
         warm = initial_ranks.select("id", F.col("rank").alias("_warm"))
         if vmap is not None:
             warm = warm.select(F.xxhash64("id").alias("id"), "_warm")
+        # a duplicate id in initial_ranks would fan out the vertex
+        # table through the left join and silently inflate rank mass;
+        # resolve deterministically (max) instead
+        warm = warm.groupBy("id").agg(F.max("_warm").alias("_warm"))
     base = verts.join(outdeg.withColumnRenamed("src", "id"), "id", "left_outer")
     if src_df is not None:
         base = base.join(src_df.withColumn("_s", F.lit(True)), "id", "left_outer")

@@ -60,12 +60,18 @@ def _reach(
     phase: str,
     shufd: ShuffleDelta,
     max_iter: int,
-) -> DataFrame:
+) -> tuple[DataFrame, bool]:
     """Frontier BFS closure: every vertex reachable from ``seeds``
     (inclusive) along ``edges`` (src -> dst). One O(frontier-edges)
-    exchange per superstep; visited set grows monotonically."""
+    exchange per superstep; visited set grows monotonically.
+
+    Returns ``(visited, complete)`` — ``complete`` is False when the
+    frontier was still non-empty after ``max_iter`` supersteps, i.e.
+    ``visited`` is a truncated (proper) subset of the true closure.
+    Callers MUST NOT treat a truncated closure as exact."""
     visited = materialize(seeds.select("id").distinct().repartition(n_part, "id"))
     frontier = visited
+    complete = False
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
         nbrs = (
@@ -88,12 +94,13 @@ def _reach(
             }
         )
         if n_new == 0:
+            complete = True
             break
         visited = materialize(
             visited.unionByName(new).repartition(n_part, "id")
         )
         frontier = new
-    return visited
+    return visited, complete
 
 
 def strongly_connected_components(
@@ -110,8 +117,13 @@ def strongly_connected_components(
 ) -> PregelResult:
     """SCC of the directed graph. Returns (id, scc); ``scc`` is the
     lexicographic-min member id. ``converged`` is False if
-    ``max_rounds`` outer rounds did not exhaust the graph (remaining
-    vertices are then absent from the output).
+    ``max_rounds`` outer rounds did not exhaust the graph, or if an
+    inner fixpoint loop (min-color propagation / backward reach) was
+    still progressing after ``max_iter`` supersteps — raising
+    ``max_iter`` is then required for paths/cycles longer than it. In
+    both cases the assignment computed so far is correct and the
+    unfinished vertices are absent from the output; a truncated round
+    is never converted into labels.
 
     ``checkpoint_dir``: snapshot (assigned, remaining vertices) after
     every OUTER round — the natural resume grain: rounds are the
@@ -212,6 +224,7 @@ def strongly_connected_components(
                 .repartition(n_part, "id")
             )
             frontier = colors
+            color_complete = False
             for _ in range(max_iter):
                 t0 = time.monotonic()
                 mins = (
@@ -247,8 +260,16 @@ def strongly_connected_components(
                 )
                 colors = nxt.select("id", "color")
                 if changed == 0:
+                    color_complete = True
                     break
                 frontier = nxt.filter("_ch").select("id", "color")
+            if not color_complete:
+                # colors are not the reachability fixpoint: the
+                # backward-reach partition of a color set would split
+                # true SCCs into wrong labels. Stop with the partial
+                # (correct-so-far) assignment and converged=False
+                # rather than emit silently wrong components.
+                break
             # backward reach from all pivots over intra-color edges
             intra_rev = materialize(
                 rem_e.join(
@@ -268,10 +289,14 @@ def strongly_connected_components(
                 .repartition(n_part, "src")
             )
             pivots = colors.filter(F.col("id") == F.col("color")).select("id")
-            reached = _reach(
+            reached, reach_complete = _reach(
                 intra_rev, pivots, n_part, metrics, run_id,
                 f"bwd_r{rnd}", shufd, max_iter,
             )
+            if not reach_complete:
+                # truncated backward closure would assign a proper
+                # subset of an SCC and split it — abort, flagged
+                break
             supersteps += 0  # _reach already appended per-superstep rows
             found = materialize(
                 colors.join(reached, "id", "left_semi").select(
@@ -353,19 +378,16 @@ def bowtie(
         .repartition(n_part, "id")
     )
     with bsp_loop_confs(spark):
-        fwd = _reach(e, core, n_part, metrics, run_id, "fwd_core", shufd, max_iter)
-        bwd = _reach(rev, core, n_part, metrics, run_id, "bwd_core", shufd, max_iter)
+        fwd, c1 = _reach(e, core, n_part, metrics, run_id, "fwd_core", shufd, max_iter)
+        bwd, c2 = _reach(rev, core, n_part, metrics, run_id, "bwd_core", shufd, max_iter)
         out_v = materialize(fwd.join(core, "id", "left_anti"))
         in_v = materialize(bwd.join(core, "id", "left_anti"))
         known = materialize(core.unionByName(out_v).unionByName(in_v))
-        fwd_in = materialize(
-            _reach(e, in_v, n_part, metrics, run_id, "fwd_in", shufd, max_iter)
-            .join(known, "id", "left_anti")
-        )
-        bwd_out = materialize(
-            _reach(rev, out_v, n_part, metrics, run_id, "bwd_out", shufd, max_iter)
-            .join(known, "id", "left_anti")
-        )
+        fi, c3 = _reach(e, in_v, n_part, metrics, run_id, "fwd_in", shufd, max_iter)
+        fwd_in = materialize(fi.join(known, "id", "left_anti"))
+        bo, c4 = _reach(rev, out_v, n_part, metrics, run_id, "bwd_out", shufd, max_iter)
+        bwd_out = materialize(bo.join(known, "id", "left_anti"))
+    reaches_complete = c1 and c2 and c3 and c4
     tubes = fwd_in.join(bwd_out, "id", "left_semi")
     tendrils = (
         fwd_in.unionByName(bwd_out).distinct().join(tubes, "id", "left_anti")
@@ -386,7 +408,10 @@ def bowtie(
     return PregelResult(
         vertices=out,
         supersteps=len(metrics),
-        converged=True,
+        # False when any of the four closures was truncated at
+        # max_iter (regions touching it would be misclassified —
+        # raise max_iter for chains deeper than it)
+        converged=reaches_complete,
         metrics=metrics,
         run_id=run_id,
     )

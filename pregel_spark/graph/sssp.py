@@ -54,6 +54,57 @@ from .engine import (
 )
 
 
+def _as_source_df(spark: SparkSession, sources: list | DataFrame) -> DataFrame:
+    if isinstance(sources, DataFrame):
+        return sources.select("id").distinct()
+    return spark.createDataFrame([(s,) for s in sources], "id string").distinct()
+
+
+def _symmetrize(e: DataFrame, directed: bool) -> DataFrame:
+    if directed:
+        return e
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+
+
+def _frontier(state: DataFrame) -> DataFrame:
+    return state.filter("changed").select(F.col("id").alias("src"), "dist")
+
+
+def _relax(
+    state: DataFrame,
+    frontier: DataFrame,
+    links_t: DataFrame,
+    stepm: StepMaterializer,
+    superstep: int,
+) -> DataFrame:
+    """ONE Bellman-Ford superstep, shared by the in-memory and the
+    bucket-indexed loops (their results are asserted identical by the
+    sssp_k8 / sssp_k8_indexed contract rows — one body, no drift):
+    scatter ``dist + w`` out of the frontier, min-combine per ``dst``
+    (map-side partial agg), then FULL OUTER merge into the visited set
+    — msgs-only rows are newly reached, state-only rows carry over,
+    both-side rows keep the min. O(visited + msgs), never O(V)."""
+    msgs = (
+        links_t.join(frontier, "src")
+        .groupBy("dst")
+        .agg(F.min(F.col("dist") + F.col("weight")).alias("md"))
+    )
+    improved = F.col("md").isNotNull() & (
+        F.col("dist").isNull() | (F.col("md") < F.col("dist"))
+    )
+    return stepm.step(
+        state.join(msgs.withColumnRenamed("dst", "id"), "id", "full_outer")
+        .select(
+            "id",
+            F.when(improved, F.col("md")).otherwise(F.col("dist")).alias("dist"),
+            improved.alias("changed"),
+        ),
+        superstep,
+    )
+
+
 def shortest_paths(
     spark: SparkSession,
     edges: DataFrame,
@@ -82,15 +133,10 @@ def shortest_paths(
     if partition_metrics is None:
         partition_metrics = ckpt is not None  # see pagerank.py rationale
 
-    e = edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
-    if not directed:
-        e = e.unionByName(
-            e.select(
-                F.col("dst").alias("src"),
-                F.col("src").alias("dst"),
-                "weight",
-            )
-        )
+    e = _symmetrize(
+        edges.select("src", "dst", F.col("weight").cast("double").alias("weight")),
+        directed,
+    )
     links = e.repartition(n_part, "src").persist()
     links.count()
     # validated on the persisted table — no second upstream scan
@@ -98,10 +144,7 @@ def shortest_paths(
         links.unpersist()
         raise ValueError("shortest_paths requires non-negative edge weights")
 
-    if isinstance(sources, DataFrame):
-        src_df = sources.select("id").distinct()
-    else:
-        src_df = spark.createDataFrame([(s,) for s in sources], "id string").distinct()
+    src_df = _as_source_df(spark, sources)
 
     # visited-only state: just the sources at superstep 0
     state = materialize(
@@ -135,31 +178,8 @@ def shortest_paths(
                 superstep -= 1
                 break
             t0 = time.monotonic()
-            frontier = state.filter("changed").select(
-                F.col("id").alias("src"), "dist"
-            )
-            msgs = (
-                links.join(frontier, "src")
-                .groupBy("dst")
-                .agg(F.min(F.col("dist") + F.col("weight")).alias("md"))
-            )
-            improved = F.col("md").isNotNull() & (
-                F.col("dist").isNull() | (F.col("md") < F.col("dist"))
-            )
-            # FULL OUTER grows the visited set: msgs-only rows are newly
-            # reached, state-only rows carry over, both-side rows keep
-            # the min — O(visited + msgs) per superstep, never O(V)
-            nxt = stepm.step(
-                state.join(msgs.withColumnRenamed("dst", "id"), "id", "full_outer")
-                .select(
-                    "id",
-                    F.when(improved, F.col("md"))
-                    .otherwise(F.col("dist"))
-                    .alias("dist"),
-                    improved.alias("changed"),
-                ),
-                superstep,
-            )
+            frontier = _frontier(state)
+            nxt = _relax(state, frontier, links, stepm, superstep)
             # ONE action: fills the checkpoint cache + counts the new
             # frontier (the reference's __messages termination counter);
             # grouped by physical partition when I5 stats are on
@@ -246,13 +266,10 @@ def write_edge_buckets(
     touches f of the B buckets prunes the scan to f/B of the bytes —
     the inverted-list trick, expressed as parquet partition pruning.
     """
-    e = edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
-    if not directed:
-        e = e.unionByName(
-            e.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
-            )
-        )
+    e = _symmetrize(
+        edges.select("src", "dst", F.col("weight").cast("double").alias("weight")),
+        directed,
+    )
     e.withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(buckets))).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{path}/edges")
@@ -296,10 +313,7 @@ def shortest_paths_indexed(
     buckets = spark.read.parquet(f"{path}/meta").collect()[0]["buckets"]
     edges_path = f"{path}/edges"
 
-    if isinstance(sources, DataFrame):
-        src_df = sources.select("id").distinct()
-    else:
-        src_df = spark.createDataFrame([(s,) for s in sources], "id string").distinct()
+    src_df = _as_source_df(spark, sources)
 
     state = materialize(
         src_df.select(
@@ -320,9 +334,7 @@ def shortest_paths_indexed(
                 superstep -= 1
                 break
             t0 = time.monotonic()
-            frontier = state.filter("changed").select(
-                F.col("id").alias("src"), "dist"
-            )
+            frontier = _frontier(state)
             # the frontier's bucket set: one tiny driver action over the
             # cached O(frontier) state; the IN-list is a STATIC filter,
             # so Spark prunes bucket directories at scan planning time
@@ -337,25 +349,7 @@ def shortest_paths_indexed(
             links_t = spark.read.parquet(edges_path).filter(
                 F.col("bucket").isin(blist)
             )
-            msgs = (
-                links_t.join(frontier, "src")
-                .groupBy("dst")
-                .agg(F.min(F.col("dist") + F.col("weight")).alias("md"))
-            )
-            improved = F.col("md").isNotNull() & (
-                F.col("dist").isNull() | (F.col("md") < F.col("dist"))
-            )
-            nxt = stepm.step(
-                state.join(msgs.withColumnRenamed("dst", "id"), "id", "full_outer")
-                .select(
-                    "id",
-                    F.when(improved, F.col("md"))
-                    .otherwise(F.col("dist"))
-                    .alias("dist"),
-                    improved.alias("changed"),
-                ),
-                superstep,
-            )
+            nxt = _relax(state, frontier, links_t, stepm, superstep)
             n_frontier = (
                 nxt.agg(F.sum(F.col("changed").cast("long")).alias("nf")).collect()[
                     0

@@ -32,7 +32,12 @@ def main():
         # UI on so the loop's ShuffleDelta records per-superstep
         # shuffle-byte deltas (engine.shuffle_totals) — the
         # exchange-volume-invariance evidence in BASELINE.md
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # long waves (SCALING_MAX_ITER up to 200) outrun the default
+            # 1000-stage UI retention and would corrupt shuffle deltas
+            "spark.ui.retainedStages": "100000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     if sf_dir.endswith(".edges.parquet") or os.path.exists(

@@ -72,3 +72,20 @@ def test_apply_mutations_barrier_order(spark):
     )
     assert {r["id"] for r in v2.collect()} == {"a", "c"}
     assert {(r["src"], r["dst"]) for r in e2.collect()} == {("a", "c")}
+
+
+def test_add_vertices_map_typed_values(spark):
+    # map columns are not orderable in Spark: the deterministic
+    # min-struct path must fall back to dropDuplicates instead of
+    # raising AnalysisException
+    verts = spark.createDataFrame(
+        [("a", {"k": "1"})], "id string, props map<string,string>"
+    )
+    new = spark.createDataFrame(
+        [("a", {"k": "2"}), ("b", {"k": "3"}), ("b", {"k": "3"})],
+        "id string, props map<string,string>",
+    )
+    out = {r["id"]: r["props"] for r in add_vertices(verts, new).collect()}
+    assert out["a"] == {"k": "1"}  # existing row wins
+    assert out["b"] == {"k": "3"}
+    assert len(out) == 2

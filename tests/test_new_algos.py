@@ -440,3 +440,14 @@ def test_sssp_indexed_matches_inline_and_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan.split(
         "PartitionFilters"
     )[1][:120]
+
+
+def test_lpa_rejects_unknown_mode(spark):
+    import pytest
+    from pregel_spark.graph import label_propagation
+    from tests.conftest import edges_df as _edf
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        label_propagation(
+            spark, _edf(spark, [("a", "b")]), max_iter=1, mode="fronteir"
+        )

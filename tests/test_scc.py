@@ -217,3 +217,35 @@ def test_scc_resume_identical(spark, tmp_path):
     assert res.converged
     got = {r["id"]: r["scc"] for r in res.vertices.collect()}
     assert got == tarjan_scc(pairs)
+
+
+def test_scc_truncation_flagged_not_mislabeled(spark):
+    # a 12-cycle is one SCC; with max_iter=3 the min-color loop cannot
+    # reach its fixpoint. The engine must NOT emit split labels — it
+    # aborts the round: converged False, the cycle absent from output.
+    pairs = [(f"c{i}", f"c{(i + 1) % 12}") for i in range(12)]
+    res = strongly_connected_components(
+        spark, edges_df(spark, pairs), max_iter=3
+    )
+    assert res.converged is False
+    labels = {r["id"]: r["scc"] for r in res.vertices.collect()}
+    # nothing wrongly assigned: any vertex present must carry the true
+    # (min-member) label of the full cycle
+    for v, s in labels.items():
+        assert s == "c0", (v, s)
+    # with ample max_iter the same graph resolves exactly
+    res2 = strongly_connected_components(spark, edges_df(spark, pairs))
+    assert res2.converged is True
+    assert {r["scc"] for r in res2.vertices.collect()} == {"c0"}
+
+
+def test_bowtie_truncation_flagged(spark):
+    # core 2-cycle with an OUT chain deeper than max_iter: the forward
+    # closure is truncated, so converged must be False
+    pairs = [("a", "b"), ("b", "a")] + [
+        (f"o{i}" if i else "a", f"o{i + 1}") for i in range(0, 8)
+    ]
+    res = bowtie(spark, edges_df(spark, pairs), max_iter=2)
+    assert res.converged is False
+    res2 = bowtie(spark, edges_df(spark, pairs))
+    assert res2.converged is True

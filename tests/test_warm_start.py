@@ -81,3 +81,18 @@ def test_warm_start_personalized(spark):
     want = {r.id: r.rank for r in cold.vertices.collect()}
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_warm_start_duplicate_ids_no_fanout(spark):
+    # duplicate ids in initial_ranks must not fan out the vertex table
+    # or inflate rank mass; resolution is deterministic (max)
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    warm = spark.createDataFrame(
+        [("a", 0.7), ("a", 0.1), ("b", 0.1), ("c", 0.2)], "id string, rank double"
+    )
+    res = pagerank(
+        spark, edges_df(spark, pairs), tol=1e-9, max_iter=50, initial_ranks=warm
+    )
+    rows = res.vertices.collect()
+    assert len(rows) == len({r["id"] for r in rows}) == 3
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
