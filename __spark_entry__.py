@@ -106,6 +106,41 @@ SELECT DISTINCT 'p' || CAST(l_partkey AS STRING) AS src,
 FROM lineitem
 """
 
+# mirror-detection fixture: the part->supplier link graph plus exact
+# 'q'-prefixed mirror copies of every 20th part page — guarantees
+# byte-identical outlink sets (real mirror structure) at every SF,
+# on top of the natural supplier-set near-overlaps
+_MIRROR_EDGES_SQL = f"""
+{EDGES_SQL}
+UNION ALL
+SELECT DISTINCT 'q' || CAST(l_partkey AS STRING) AS src,
+                's' || CAST(l_suppkey AS STRING) AS dst,
+                CAST(1.0 AS DOUBLE) AS weight
+FROM lineitem WHERE l_partkey % 20 = 0
+"""
+
+# adjacency documents for the mirror-pairs row: sorted distinct
+# outlink set per source as whitespace-joined text (graph.mirrors.
+# outlink_docs twin), exact-collapsed to min-member representatives
+_MIRROR_DOCS_SQL = f"""
+SELECT min(doc_id) AS doc_id, text FROM (
+    SELECT src AS doc_id,
+           array_to_string(list_sort(list(DISTINCT dst)), ' ') AS text
+    FROM ({_MIRROR_EDGES_SQL}) GROUP BY src
+    HAVING count(DISTINCT dst) >= 2
+) GROUP BY text
+"""
+
+_MIRROR_EXACT_SQL = f"""
+WITH docs AS (
+    SELECT src AS doc_id,
+           array_to_string(list_sort(list(DISTINCT dst)), ' ') AS text
+    FROM ({_MIRROR_EDGES_SQL}) GROUP BY src
+    HAVING count(DISTINCT dst) >= 2)
+SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+FROM docs GROUP BY text HAVING count(*) >= 2
+"""
+
 TRI_EDGES_SQL = """
 SELECT 'c' || CAST(c_custkey AS STRING) AS src,
        'c' || CAST(c_custkey + 1 AS STRING) AS dst,
@@ -492,6 +527,23 @@ def q_assortativity(spark, sf_dir):
     return degree_assortativity(_edges(spark, sf_dir)).select(
         "n_pairs", F.round("assortativity", 6).alias("assortativity")
     )
+
+
+def _mirror_edges(spark, sf_dir):
+    _register_views(spark, sf_dir)
+    return spark.sql(_MIRROR_EDGES_SQL)
+
+
+def q_mirror_exact(spark, sf_dir):
+    from pregel_spark.graph import exact_mirror_groups
+
+    return exact_mirror_groups(_mirror_edges(spark, sf_dir), min_out=2)
+
+
+def q_mirror_pairs(spark, sf_dir):
+    from pregel_spark.graph import mirror_pairs
+
+    return mirror_pairs(_mirror_edges(spark, sf_dir), threshold=0.4, min_out=2)
 
 
 def q_adamic_adar(spark, sf_dir):
@@ -916,10 +968,15 @@ SELECT a, b, overlap FROM ov WHERE overlap >= 0.3
 """
 
 
-def _minhash_sql(threshold=0.1, num_hashes=32, bands=8, max_k=3) -> str:
+def _minhash_sql(threshold=0.1, num_hashes=32, bands=8, max_k=3, docs_sql=None) -> str:
     """Unrolled MinHash+LSH: seeded 60-bit signature mins, band-key
     equality candidates, true-Jaccard verify — mirrors
-    dedup.minhash_lsh_pairs(hash_fn='md5') exactly."""
+    dedup.minhash_lsh_pairs(hash_fn='md5') exactly.
+
+    ``docs_sql``: optional SELECT producing (doc_id, text) to run the
+    pipeline over instead of the documents table (e.g. the outlink
+    adjacency documents of ``graph.mirrors``). ``max_k=1`` switches
+    shingles to the distinct tokens themselves (set semantics)."""
     r = num_hashes // bands
     # four 32-bit hashes per md5 digest (8 hex chars each), matching
     # dedup.minhash_signatures(hash_fn='md5')
@@ -937,15 +994,23 @@ def _minhash_sql(threshold=0.1, num_hashes=32, bands=8, max_k=3) -> str:
         for bi in range(bands)
     )
     band_eq = " AND ".join(f"x.k{j} = y.k{j}" for j in range(r))
+    src_cte = f"srcdocs AS ({docs_sql}),\n" if docs_sql else ""
+    src_tab = "srcdocs" if docs_sql else "documents"
+    if max_k == 1:
+        sh0_sql = "SELECT doc_id, list_distinct(w) AS shs FROM toks WHERE len(w) >= 1"
+    else:
+        sh0_sql = (
+            f"SELECT doc_id,\n"
+            f"           list_distinct([array_to_string(w[i:i+{max_k - 1}], ' ')\n"
+            f"                          for i in range(1, len(w) - {max_k - 2})]) AS shs\n"
+            f"    FROM toks WHERE len(w) >= {max_k}"
+        )
     return rf"""
-WITH toks AS (
+WITH {src_cte}toks AS (
     SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-    FROM documents WHERE length(trim(text)) > 0),
+    FROM {src_tab} WHERE length(trim(text)) > 0),
 sh0 AS (
-    SELECT doc_id,
-           list_distinct([array_to_string(w[i:i+{max_k - 1}], ' ')
-                          for i in range(1, len(w) - {max_k - 2})]) AS shs
-    FROM toks WHERE len(w) >= {max_k}),
+    {sh0_sql}),
 sh AS (SELECT doc_id AS id, unnest(shs) AS sh FROM sh0),
 hs AS (
     SELECT id, sh,
@@ -1143,6 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "adamic_adar": q_adamic_adar,
+        "mirror_exact": q_mirror_exact,
+        "mirror_pairs": q_mirror_pairs,
         "pricing_summary": _sql_query(PRICING_SQL),
         "top_customers": _sql_query(TOP_CUSTOMERS_SQL),
         "events_hourly": _sql_query(EVENTS_HOURLY_SQL),
@@ -1365,6 +1432,14 @@ j AS (SELECT a, b,
 SELECT a, b, jaccard FROM j WHERE jaccard >= 0.1
 """,
         "dedup_minhash": _minhash_sql(threshold=0.1),
+        "mirror_exact": _MIRROR_EXACT_SQL,
+        "mirror_pairs": _minhash_sql(
+            threshold=0.4,
+            num_hashes=32,
+            bands=16,
+            max_k=1,
+            docs_sql=_MIRROR_DOCS_SQL,
+        ),
         "dedup_clusters": r"""
 WITH RECURSIVE toks AS (
     SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

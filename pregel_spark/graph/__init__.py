@@ -27,6 +27,7 @@ from .neighborhood import (
     neighborhood_function,
 )
 from .scc import bowtie, strongly_connected_components
+from .mirrors import exact_mirror_groups, mirror_pairs, outlink_docs
 from .structure import (
     adamic_adar,
     clustering_coefficient,
@@ -80,4 +81,7 @@ __all__ = [
     "clustering_coefficient",
     "degree_assortativity",
     "reciprocity",
+    "outlink_docs",
+    "exact_mirror_groups",
+    "mirror_pairs",
 ]
