@@ -50,6 +50,7 @@ HEADLINE = R2_COMPARABLE + [
     "kcore3_r4",
     "host_pagerank_k3",
     "neigh_k3",
+    "mirror_pairs",
 ]
 # scc_fixture / bowtie_fixture stay correctness-only: they run on the
 # constant ~60-vertex cyclic fixture, so their wall time is ~100 tiny

@@ -78,12 +78,20 @@ def mirror_pairs(
     min_out: int = 2,
     max_out: int | None = None,
     collapse_exact: bool = True,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-identical (but not byte-identical) outlink-set pairs:
     (a, b, jaccard) with a < b, jaccard ≥ threshold computed EXACTLY
     over the distinct outlink sets. With ``collapse_exact`` (default)
     each byte-identical group is represented by its min member —
-    recover the full farms via :func:`exact_mirror_groups`."""
+    recover the full farms via :func:`exact_mirror_groups`.
+
+    ``hash_fn``: 'md5' (default — DuckDB/Postgres-reproducible bit-
+    exactly, the oracle family) or 'xxhash64' (~2x cheaper signatures;
+    same pairs modulo LSH sampling; the same trade as
+    ``dedup.minhash_lsh_pairs``, quantified in BASELINE.md). One
+    shingle per edge, so signature cost scales with |E| like
+    ``dedup_minhash`` scales with corpus shingle volume."""
     docs = outlink_docs(edges, min_out, max_out)
     if collapse_exact:
         docs = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
@@ -95,4 +103,5 @@ def mirror_pairs(
         num_hashes=num_hashes,
         bands=bands,
         k=1,
+        hash_fn=hash_fn,
     )
