@@ -556,6 +556,37 @@ def q_adamic_adar(spark, sf_dir):
     ).select("u", "w", "n_common", F.round("aa_score", 6).alias("aa_score"))
 
 
+def q_spam_mass_k4(spark, sf_dir):
+    """TrustRank spam mass (Gyongyi et al.): uniform PageRank vs
+    seed-personalized PageRank over the SAME graph, spam_mass =
+    (pr - tr) / pr. Seeds = the two lexicographically-smallest link
+    sources — the identical pick the oracle makes."""
+    from pregel_spark.graph import spam_mass
+
+    edges = _edges(spark, sf_dir)
+    seeds = [
+        r["src"]
+        for r in edges.select("src").distinct().orderBy("src").limit(2).collect()
+    ]
+    return spam_mass(spark, edges, seeds, max_iter=4).select(
+        "id",
+        F.round("pr", 6).alias("pr"),
+        F.round("tr", 6).alias("tr"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+    )
+
+
+def q_cocitation(spark, sf_dir):
+    from pregel_spark.graph import co_link_pairs
+
+    # pivots = citing part pages (out-deg well under the cutoff at
+    # every sf); supplier hubs only ever appear as pair members, so
+    # the n_common counts vary with co-citing part overlap
+    return co_link_pairs(
+        _edges(spark, sf_dir), "cocitation", min_common=2, max_pivot_degree=100
+    )
+
+
 def q_random_walks_l3(spark, sf_dir):
     from pregel_spark.graph import random_walks
 
@@ -627,6 +658,25 @@ def q_fingerprint(spark, sf_dir):
     from pregel_spark.pipeline import fingerprint
 
     return fingerprint(_docs(spark, sf_dir))
+
+
+def q_bm25(spark, sf_dir):
+    from pregel_spark.pipeline import bm25_scores
+
+    # the synthetic corpus has a 31-term vocabulary with median
+    # df ~ 0.78N — any stopword cutoff would empty the table, so the
+    # contract row keeps all terms; the cutoff path is pytest-covered
+    return bm25_scores(_docs(spark, sf_dir), max_df_ratio=None).select(
+        "term", "doc_id", "tf", "df", "dl", F.round("score", 6).alias("score")
+    )
+
+
+def q_tfidf(spark, sf_dir):
+    from pregel_spark.pipeline import tfidf_scores
+
+    return tfidf_scores(_docs(spark, sf_dir), max_df_ratio=None).select(
+        "term", "doc_id", "tf", "df", F.round("score", 6).alias("score")
+    )
 
 
 def q_token_stats(spark, sf_dir):
@@ -793,6 +843,55 @@ r0 AS (SELECT v.id, CASE WHEN s.id IS NOT NULL THEN 1.0 / ns
                          ELSE 0.0 END AS rank
        FROM v CROSS JOIN nsrc LEFT JOIN sv s ON s.id = v.id),{",".join(steps)}
 SELECT id, round(rank, 6) AS rank FROM r{k}
+"""
+
+
+def _spam_mass_unrolled_sql(k: int, edges_sql: str) -> str:
+    """k supersteps of BOTH the uniform (r-chain) and seed-personalized
+    (p-chain) PageRank recurrences over shared e/v/od CTEs, joined into
+    the TrustRank relative spam mass (pr - tr) / pr. Float-op order
+    mirrors graph/pagerank.spam_mass exactly; seeds = the two
+    lexicographically-smallest srcs, same as the Spark query."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+d{i} AS (SELECT COALESCE(sum(rank), 0.0) AS dm FROM r{i}
+        WHERE id NOT IN (SELECT src FROM od)),
+s{i + 1} AS (SELECT e.dst AS id, sum(r{i}.rank / od.c) AS s
+        FROM e JOIN od ON e.src = od.src JOIN r{i} ON r{i}.id = e.src
+        GROUP BY e.dst),
+r{i + 1} AS (SELECT v.id,
+        (1 - 0.85) / nn + 0.85 * (COALESCE(s{i + 1}.s, 0.0) + d{i}.dm / nn) AS rank
+        FROM v CROSS JOIN n CROSS JOIN d{i}
+        LEFT JOIN s{i + 1} ON s{i + 1}.id = v.id),
+pd{i} AS (SELECT COALESCE(sum(rank), 0.0) AS dm FROM p{i}
+        WHERE id NOT IN (SELECT src FROM od)),
+ps{i + 1} AS (SELECT e.dst AS id, sum(p{i}.rank / od.c) AS s
+        FROM e JOIN od ON e.src = od.src JOIN p{i} ON p{i}.id = e.src
+        GROUP BY e.dst),
+p{i + 1} AS (SELECT v.id,
+        CASE WHEN sv{i}.id IS NOT NULL
+             THEN (1 - 0.85) / ns + 0.85 * pd{i}.dm / ns
+             ELSE 0.0 END
+        + 0.85 * COALESCE(ps{i + 1}.s, 0.0) AS rank
+        FROM v CROSS JOIN nsrc CROSS JOIN pd{i}
+        LEFT JOIN sv sv{i} ON sv{i}.id = v.id
+        LEFT JOIN ps{i + 1} ON ps{i + 1}.id = v.id)""")
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
+sv AS (SELECT DISTINCT src AS id FROM e ORDER BY src LIMIT 2),
+nsrc AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sv),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 / nn AS rank FROM v CROSS JOIN n),
+p0 AS (SELECT v.id, CASE WHEN s.id IS NOT NULL THEN 1.0 / ns
+                         ELSE 0.0 END AS rank
+       FROM v CROSS JOIN nsrc LEFT JOIN sv s ON s.id = v.id),{",".join(steps)}
+SELECT u.id, round(u.rank, 6) AS pr, round(p.rank, 6) AS tr,
+       round((u.rank - p.rank) / u.rank, 6) AS spam_mass
+FROM r{k} u JOIN p{k} p ON p.id = u.id
 """
 
 
@@ -1185,6 +1284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "host_pagerank_k3": q_host_pagerank_k3,
         "kcore3_r4": q_kcore3_r4,
+        "spam_mass_k4": q_spam_mass_k4,
+        "cocitation": q_cocitation,
         "random_walks_l3": q_random_walks_l3,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1195,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dup": q_winnow_near_dup,
+        "bm25": q_bm25,
+        "tfidf": q_tfidf,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
@@ -1242,6 +1345,49 @@ FROM ids LEFT JOIN out_d ON ids.id = out_d.id LEFT JOIN in_d ON ids.id = in_d.id
         "pagerank_k3": _pagerank_unrolled_sql(3, EDGES_SQL),
         "pagerank_k8": _pagerank_unrolled_sql(8, EDGES_SQL),
         "ppr_k4": _ppr_unrolled_sql(4, EDGES_SQL),
+        "spam_mass_k4": _spam_mass_unrolled_sql(4, EDGES_SQL),
+        "cocitation": f"""
+WITH {edges_cte},
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+piv AS (SELECT src AS v FROM e GROUP BY src HAVING count(*) <= 100),
+nb AS (SELECT e.src AS v, e.dst AS x FROM e JOIN piv ON piv.v = e.src)
+SELECT u, w, count(*) AS n_common
+FROM (SELECT a.x AS u, b.x AS w FROM nb a JOIN nb b ON a.v = b.v AND a.x < b.x) p
+GROUP BY u, w HAVING count(*) >= 2
+""",
+        "bm25": r"""
+WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE string_split_regex(trim(text), '\s+') END AS w
+           FROM documents),
+dlen AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS dl FROM t),
+idx AS (SELECT doc_id, unnest(w) AS term FROM t),
+tfp AS (SELECT term, doc_id, count(*) AS tf FROM idx GROUP BY term, doc_id),
+dfp AS (SELECT term, count(*) AS df FROM tfp GROUP BY term),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              avg(CAST(dl AS DOUBLE)) AS avgdl FROM dlen)
+SELECT tfp.term, tfp.doc_id, tfp.tf, dfp.df, dlen.dl,
+       round(
+         ln(1.0 + (n_docs - CAST(dfp.df AS DOUBLE) + 0.5)
+                  / (CAST(dfp.df AS DOUBLE) + 0.5))
+         * (CAST(tfp.tf AS DOUBLE) * 2.2)
+         / (CAST(tfp.tf AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * CAST(dlen.dl AS DOUBLE) / avgdl)),
+         6) AS score
+FROM tfp JOIN dfp USING (term) JOIN dlen USING (doc_id) CROSS JOIN st
+""",
+        "tfidf": r"""
+WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE string_split_regex(trim(text), '\s+') END AS w
+           FROM documents),
+idx AS (SELECT doc_id, unnest(w) AS term FROM t),
+tfp AS (SELECT term, doc_id, count(*) AS tf FROM idx GROUP BY term, doc_id),
+dfp AS (SELECT term, count(*) AS df FROM tfp GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT tfp.term, tfp.doc_id, tfp.tf, dfp.df,
+       round(CAST(tfp.tf AS DOUBLE)
+             * ln(1.0 + n_docs / CAST(dfp.df AS DOUBLE)), 6) AS score
+FROM tfp JOIN dfp USING (term) CROSS JOIN n
+""",
         "pagerank_weighted_k3": _wpagerank_unrolled_sql(3, W_EDGES_SQL),
         "connected_components": f"""
 WITH RECURSIVE {edges_cte},

@@ -13,7 +13,7 @@ from .build import (
     vertex_sample_pred,
 )
 from .engine import Pregel, PregelResult
-from .pagerank import pagerank
+from .pagerank import pagerank, spam_mass
 from .components import connected_components, connected_components_star
 from .lpa import label_propagation
 from .triangles import triangle_count, triangle_count_per_vertex
@@ -31,6 +31,7 @@ from .mirrors import exact_mirror_groups, mirror_pairs, outlink_docs
 from .structure import (
     adamic_adar,
     clustering_coefficient,
+    co_link_pairs,
     degree_assortativity,
     reciprocity,
 )
@@ -79,8 +80,10 @@ __all__ = [
     "harmonic_centrality",
     "adamic_adar",
     "clustering_coefficient",
+    "co_link_pairs",
     "degree_assortativity",
     "reciprocity",
+    "spam_mass",
     "outlink_docs",
     "exact_mirror_groups",
     "mirror_pairs",

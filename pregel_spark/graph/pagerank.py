@@ -372,3 +372,43 @@ def pagerank(
         run_id=run_id,
         partition_metrics=part_metrics,
     )
+
+
+def spam_mass(
+    spark: SparkSession,
+    edges: DataFrame,
+    trusted: list[str],
+    max_iter: int = 4,
+    d: float = 0.85,
+    **kwargs,
+) -> DataFrame:
+    """TrustRank spam-mass estimation (Gyongyi et al. 2004/2005): run
+    uniform PageRank ``p`` and trust-seeded personalized PageRank
+    ``t`` (restart + dangling mass return to ``trusted``) over the
+    SAME graph, and report the relative spam mass
+    ``(p - t) / p`` per page — the fraction of a page's rank that
+    does NOT flow from the trusted seed set. Near 1 for link-spam
+    targets, near/below 0 for pages well-connected to the seeds. The
+    classic web-spam demotion signal, and the canonical consumer of
+    the engine's ``sources=`` PPR mode.
+
+    Returns (id, pr, tr, spam_mass), all unrounded doubles; contract
+    queries round at the boundary. ``p > 0`` always (the (1-d)/n
+    uniform floor), so the division is total.
+
+    Scale: exactly two PageRank runs (each the audited per-superstep
+    plan) + one final hash join on id. ``**kwargs`` forwards the
+    usual knobs (checkpointing, numeric ids, partitions) to BOTH
+    runs.
+    """
+    p = pagerank(
+        spark, edges, d=d, tol=0.0, max_iter=max_iter, pre_deduped=True, **kwargs
+    ).vertices.select("id", F.col("rank").alias("pr"))
+    t = pagerank(
+        spark, edges, d=d, tol=0.0, max_iter=max_iter, pre_deduped=True,
+        sources=trusted, **kwargs
+    ).vertices.select("id", F.col("rank").alias("tr"))
+    return p.join(t, "id").select(
+        "id", "pr", "tr",
+        ((F.col("pr") - F.col("tr")) / F.col("pr")).alias("spam_mass"),
+    )

@@ -24,6 +24,13 @@ from .dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
+from .ranking import (
+    bm25_scores,
+    bm25_topk,
+    doc_lengths,
+    term_index,
+    tfidf_scores,
+)
 from .simsearch import (
     brute_force_topk,
     ivf_topk,
@@ -51,6 +58,11 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "simhash_pairs",
+    "bm25_scores",
+    "bm25_topk",
+    "doc_lengths",
+    "term_index",
+    "tfidf_scores",
     "brute_force_topk",
     "ivf_topk",
     "ivf_topk_indexed",

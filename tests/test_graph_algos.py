@@ -263,3 +263,57 @@ def test_degree_histogram_bins(spark):
         ("in", 0): 9,
         ("in", -1): 1,
     }
+
+
+def test_spam_mass_dense_oracle(spark):
+    """spam_mass = (pr - trustrank)/pr vs a dense 4-step power
+    iteration; the trusted seed itself gets mass <= 0, the far
+    component (no path from the seed) gets mass ~1."""
+    from pregel_spark.graph import spam_mass
+
+    pairs = TOY7
+    trusted = ["a"]
+    got = {
+        r.id: (r.pr, r.tr, r.spam_mass)
+        for r in spam_mass(
+            spark, edges_df(spark, pairs), trusted, max_iter=4
+        ).collect()
+    }
+
+    ids = sorted({x for e in pairs for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n, d = len(ids), 0.85
+    from collections import defaultdict
+
+    out = defaultdict(set)
+    for s, t in set(pairs):
+        out[s].add(t)
+
+    def power(e_vec, k):
+        r = e_vec.copy()
+        for _ in range(k):
+            nxt = np.zeros(n)
+            dm = 0.0
+            for v in ids:
+                if out[v]:
+                    for t in out[v]:
+                        nxt[idx[t]] += r[idx[v]] / len(out[v])
+                else:
+                    dm += r[idx[v]]
+            r = (1 - d) * e_vec + d * (nxt + dm * e_vec)
+        return r
+
+    p = power(np.full(n, 1.0 / n), 4)
+    e_s = np.zeros(n)
+    e_s[idx["a"]] = 1.0
+    t = power(e_s, 4)
+    for v in ids:
+        pr, tr, sm = got[v]
+        assert np.isclose(pr, p[idx[v]], atol=1e-9), v
+        assert np.isclose(tr, t[idx[v]], atol=1e-9), v
+        assert np.isclose(sm, (p[idx[v]] - t[idx[v]]) / p[idx[v]], atol=1e-9), v
+    # trusted seed: trust mass exceeds plain rank -> spam mass <= 0
+    assert got["a"][2] <= 0.0
+    # f/g cycle is unreachable from 'a' except via restart leakage ->
+    # nearly all their rank is untrusted
+    assert got["f"][2] > 0.9 and got["g"][2] > 0.9

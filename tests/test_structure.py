@@ -69,3 +69,84 @@ def test_adamic_adar_center_degree_cutoff(spark):
         assert r.aa_score == pytest.approx(1.0 / math.log(4.0))
     cut = adamic_adar(e, min_common=1, max_center_degree=3).collect()
     assert cut == []
+
+
+def _brute_colink(pairs, direction, min_common, max_pivot):
+    from collections import defaultdict
+
+    e = {(a, b) for a, b in pairs if a != b}
+    items = defaultdict(set)  # pivot -> linked items
+    for a, b in e:
+        if direction == "cocitation":
+            items[a].add(b)
+        else:
+            items[b].add(a)
+    out = defaultdict(int)
+    for piv, xs in items.items():
+        if max_pivot is not None and len(xs) > max_pivot:
+            continue
+        xs = sorted(xs)
+        for i in range(len(xs)):
+            for j in range(i + 1, len(xs)):
+                out[(xs[i], xs[j])] += 1
+    return {p: c for p, c in out.items() if c >= min_common}
+
+
+def test_cocitation_matches_bruteforce(spark):
+    from pregel_spark.graph import co_link_pairs
+
+    pairs = [
+        ("p1", "a"), ("p1", "b"), ("p1", "c"),
+        ("p2", "a"), ("p2", "b"),
+        ("p3", "a"), ("p3", "b"), ("p3", "b"),  # dup arc collapses
+        ("p4", "c"), ("p4", "c"),
+        ("a", "a"),  # self-loop dropped
+    ]
+    got = {
+        (r.u, r.w): r.n_common
+        for r in co_link_pairs(edges_df(spark, pairs), "cocitation").collect()
+    }
+    assert got == _brute_colink(pairs, "cocitation", 2, 100)
+    assert got[("a", "b")] == 3
+
+
+def test_bibliographic_coupling_matches_bruteforce(spark):
+    from pregel_spark.graph import co_link_pairs
+
+    pairs = [
+        ("u", "r1"), ("u", "r2"), ("u", "r3"),
+        ("w", "r1"), ("w", "r2"),
+        ("x", "r2"), ("x", "r3"),
+        ("y", "r9"),
+    ]
+    got = {
+        (r.u, r.w): r.n_common
+        for r in co_link_pairs(
+            edges_df(spark, pairs), "coupling", min_common=1
+        ).collect()
+    }
+    assert got == _brute_colink(pairs, "coupling", 1, 100)
+    assert got[("u", "w")] == 2
+
+
+def test_cocitation_pivot_cutoff_skips_hubs(spark):
+    from pregel_spark.graph import co_link_pairs
+
+    # hub cites 5 pages (out-deg 5 > cutoff 4) -> contributes nothing;
+    # p cites a,b -> only surviving pair needs min_common=1
+    pairs = [("hub", f"t{i}") for i in range(5)] + [("p", "t0"), ("p", "t1")]
+    got = {
+        (r.u, r.w): r.n_common
+        for r in co_link_pairs(
+            edges_df(spark, pairs), "cocitation", min_common=1, max_pivot_degree=4
+        ).collect()
+    }
+    assert got == {("t0", "t1"): 1}
+    assert got == _brute_colink(pairs, "cocitation", 1, 4)
+
+
+def test_co_link_rejects_bad_direction(spark):
+    from pregel_spark.graph import co_link_pairs
+
+    with pytest.raises(ValueError):
+        co_link_pairs(edges_df(spark, [("a", "b")]), "sideways")
