@@ -173,6 +173,36 @@ FROM customer
 WHERE c_custkey + 2 <= (SELECT max(c_custkey) FROM customer)
 """
 
+# k-truss fixture: circulant {+1,+2,+3} chain (every edge closes
+# triangles, but supports max out at 4 mid-chain) grafted with a K6 on
+# customers 1-6 — 5-truss peeling unravels the whole chain in two
+# rounds while the clique core survives; both engines derive it from
+# this text
+TRUSS_EDGES_SQL = """
+SELECT 'c' || CAST(c_custkey AS STRING) AS src,
+       'c' || CAST(c_custkey + d AS STRING) AS dst
+FROM customer, (VALUES (1), (2), (3)) AS t(d)
+WHERE c_custkey + d <= (SELECT max(c_custkey) FROM customer)
+UNION ALL
+SELECT 'c' || CAST(a.c_custkey AS STRING) AS src,
+       'c' || CAST(b.c_custkey AS STRING) AS dst
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE a.c_custkey <= 6 AND b.c_custkey <= 6
+"""
+
+# redirect fixture: descending chains of <= 9 hops (u_c -> u_{c-1},
+# broken at c % 10 == 1 so u_{10k+1} are the terminals) plus one
+# 3-cycle r1 -> r2 -> r3 -> r1 — both engines derive it from this text
+REDIRECTS_SQL = """
+SELECT 'u' || CAST(c_custkey AS STRING) AS src,
+       'u' || CAST(c_custkey - 1 AS STRING) AS dst
+FROM customer WHERE c_custkey % 10 <> 1
+UNION ALL
+SELECT 'r' || CAST(c_custkey AS STRING) AS src,
+       'r' || CAST(c_custkey % 3 + 1 AS STRING) AS dst
+FROM customer WHERE c_custkey <= 3
+"""
+
 # circulant chain with the c%3==0 links reciprocated — the dyad
 # fixture for reciprocity (both engines build it from this same text)
 RECIP_EDGES_SQL = """
@@ -556,6 +586,25 @@ def q_adamic_adar(spark, sf_dir):
     ).select("u", "w", "n_common", F.round("aa_score", 6).alias("aa_score"))
 
 
+def q_truss5_r2(spark, sf_dir):
+    """Two 5-truss peel rounds (fixed-round contract, like kcore3_r4):
+    the chain cascades away, the K6 core survives with its round-2
+    supports."""
+    from pregel_spark.graph import k_truss
+
+    _register_views(spark, sf_dir)
+    return k_truss(spark, spark.sql(TRUSS_EDGES_SQL), k=5, max_rounds=2)
+
+
+def q_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling: terminal URL +
+    exact hop count per source, cycles flagged."""
+    from pregel_spark.graph import resolve_redirects
+
+    _register_views(spark, sf_dir)
+    return resolve_redirects(spark, spark.sql(REDIRECTS_SQL))
+
+
 def q_spam_mass_k4(spark, sf_dir):
     """TrustRank spam mass (Gyongyi et al.): uniform PageRank vs
     seed-personalized PageRank over the SAME graph, spam_mass =
@@ -658,6 +707,21 @@ def q_fingerprint(spark, sf_dir):
     from pregel_spark.pipeline import fingerprint
 
     return fingerprint(_docs(spark, sf_dir))
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination: eval set = every 25th document,
+    train = the rest; 4-gram overlap (n=13 finds nothing on a 31-word
+    synthetic vocabulary — the n=13 default is for real text)."""
+    from pregel_spark.pipeline import contamination_overlap
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    tr = docs.filter(F.col("doc_id") % 25 != 0)
+    return contamination_overlap(tr, ev, n=4).select(
+        "train_id", "eval_id", "n_overlap", "eval_ngrams",
+        F.round("frac", 6).alias("frac"),
+    )
 
 
 def q_bm25(spark, sf_dir):
@@ -1067,6 +1131,30 @@ SELECT a, b, overlap FROM ov WHERE overlap >= 0.3
 """
 
 
+def _truss_unrolled_sql(k: int, rounds: int, edges_sql: str) -> str:
+    """``rounds`` k-truss peel rounds: per-round edge support = common
+    neighbors over the CURRENT canonical edge set (adjacency
+    self-join), filter support >= k-2 — mirrors graph.triangles.k_truss
+    with max_rounds=rounds. Edges closing zero triangles have no
+    support row and drop via the inner join, exactly like Spark."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+ad{i} AS (SELECT u AS x, v AS w FROM e{i}
+          UNION ALL SELECT v AS x, u AS w FROM e{i}),
+s{i} AS (SELECT e.u, e.v, count(*) AS support
+         FROM e{i} e JOIN ad{i} a ON a.x = e.u
+                     JOIN ad{i} b ON b.x = e.v AND b.w = a.w
+         GROUP BY e.u, e.v),
+e{i + 1} AS (SELECT u, v FROM s{i} WHERE support >= {k - 2})""")
+    return f"""
+WITH e0x AS ({edges_sql}),
+e1 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       FROM e0x WHERE src <> dst),{",".join(steps)}
+SELECT u, v, support FROM s{rounds} WHERE support >= {k - 2}
+"""
+
+
 def _minhash_sql(threshold=0.1, num_hashes=32, bands=8, max_k=3, docs_sql=None) -> str:
     """Unrolled MinHash+LSH: seeded 60-bit signature mins, band-key
     equality candidates, true-Jaccard verify — mirrors
@@ -1284,6 +1372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "host_pagerank_k3": q_host_pagerank_k3,
         "kcore3_r4": q_kcore3_r4,
+        "truss5_r2": q_truss5_r2,
+        "redirects": q_redirects,
         "spam_mass_k4": q_spam_mass_k4,
         "cocitation": q_cocitation,
         "random_walks_l3": q_random_walks_l3,
@@ -1296,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dup": q_winnow_near_dup,
+        "decontam": q_decontam,
         "bm25": q_bm25,
         "tfidf": q_tfidf,
         "token_stats": q_token_stats,
@@ -1346,6 +1437,21 @@ FROM ids LEFT JOIN out_d ON ids.id = out_d.id LEFT JOIN in_d ON ids.id = in_d.id
         "pagerank_k8": _pagerank_unrolled_sql(8, EDGES_SQL),
         "ppr_k4": _ppr_unrolled_sql(4, EDGES_SQL),
         "spam_mass_k4": _spam_mass_unrolled_sql(4, EDGES_SQL),
+        "truss5_r2": _truss_unrolled_sql(5, 2, TRUSS_EDGES_SQL),
+        "redirects": f"""
+WITH RECURSIVE m AS (
+    SELECT src, min(dst) AS dst FROM ({REDIRECTS_SQL}) GROUP BY src),
+walk(src, cur, hops) AS (
+    SELECT src, dst, CAST(1 AS BIGINT) FROM m
+    UNION ALL
+    SELECT w.src, m.dst, w.hops + 1 FROM walk w JOIN m ON m.src = w.cur
+    WHERE w.hops <= 12),
+resolved AS (SELECT src, cur AS final_url, hops AS n_hops FROM walk
+             WHERE cur NOT IN (SELECT src FROM m))
+SELECT m.src, r.final_url, r.n_hops,
+       CASE WHEN r.src IS NULL THEN 'cycle' ELSE 'resolved' END AS status
+FROM m LEFT JOIN resolved r ON r.src = m.src
+""",
         "cocitation": f"""
 WITH {edges_cte},
 e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
@@ -1354,6 +1460,25 @@ nb AS (SELECT e.src AS v, e.dst AS x FROM e JOIN piv ON piv.v = e.src)
 SELECT u, w, count(*) AS n_common
 FROM (SELECT a.x AS u, b.x AS w FROM nb a JOIN nb b ON a.v = b.v AND a.x < b.x) p
 GROUP BY u, w HAVING count(*) >= 2
+""",
+        "decontam": r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0),
+sh0 AS (
+    SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
+                                  for i in range(1, len(w) - 2)]) AS shs
+    FROM toks WHERE len(w) >= 4),
+sh AS (SELECT doc_id, unnest(shs) AS sh FROM sh0),
+ev AS (SELECT * FROM sh WHERE doc_id % 25 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 25 <> 0),
+evsz AS (SELECT doc_id AS eval_id, count(*) AS eval_ngrams FROM ev GROUP BY doc_id),
+hits AS (
+    SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_overlap
+    FROM tr JOIN ev USING (sh) GROUP BY tr.doc_id, ev.doc_id)
+SELECT train_id, eval_id, n_overlap, eval_ngrams,
+       round(n_overlap / CAST(eval_ngrams AS DOUBLE), 6) AS frac
+FROM hits JOIN evsz USING (eval_id)
 """,
         "bm25": r"""
 WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []

@@ -16,7 +16,7 @@ from .engine import Pregel, PregelResult
 from .pagerank import pagerank, spam_mass
 from .components import connected_components, connected_components_star
 from .lpa import label_propagation
-from .triangles import triangle_count, triangle_count_per_vertex
+from .triangles import k_truss, triangle_count, triangle_count_per_vertex
 from .maxprop import max_propagation
 from .hits import hits
 from .sssp import shortest_paths
@@ -28,6 +28,7 @@ from .neighborhood import (
 )
 from .scc import bowtie, strongly_connected_components
 from .mirrors import exact_mirror_groups, mirror_pairs, outlink_docs
+from .redirects import resolve_redirects
 from .structure import (
     adamic_adar,
     clustering_coefficient,
@@ -66,6 +67,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "label_propagation",
+    "k_truss",
     "triangle_count",
     "triangle_count_per_vertex",
     "max_propagation",
@@ -87,4 +89,5 @@ __all__ = [
     "outlink_docs",
     "exact_mirror_groups",
     "mirror_pairs",
+    "resolve_redirects",
 ]

@@ -73,3 +73,88 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     return verts.join(counts, "id", "left_outer").select(
         "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
+
+
+def _edge_support(e_canon: DataFrame) -> DataFrame:
+    """(u, v, support) for every canonical (u < v) edge: the number of
+    triangles the edge participates in. Edges in no triangle get no
+    row (callers coalesce to 0). Uses the same degree-ordered oriented
+    wedge join as :func:`_triangles`, so the fan-out stays
+    arboricity-bounded on skewed graphs."""
+    tris = _triangles(e_canon.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    credits = (
+        tris.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .unionByName(
+            tris.select(F.least("u", "w").alias("u"), F.greatest("u", "w").alias("v"))
+        )
+        .unionByName(
+            tris.select(F.least("v", "w").alias("u"), F.greatest("v", "w").alias("v"))
+        )
+    )
+    return credits.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+
+
+def k_truss(
+    spark,
+    edges: DataFrame,
+    k: int = 4,
+    max_rounds: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """k-truss decomposition (Cohen 2008, the MapReduce formulation):
+    the maximal subgraph in which every edge closes >= k-2 triangles —
+    the standard cohesive-community core on web/social graphs, strictly
+    stronger than the degree-based k-core (``kcore``).
+
+    Peels by rounds: compute per-edge triangle support over the
+    CURRENT surviving edge set, drop edges with support < k-2, repeat
+    until no edge drops (fixpoint) or ``max_rounds``. Returns the
+    surviving canonical edges (u < v) with the support computed in the
+    final executed round — for a fixpoint run that IS each edge's
+    support inside the truss.
+
+    Scale: each round is one triangle enumeration (degree-oriented
+    wedge join — arboricity-bounded, hub-safe) + one count + one
+    filter, all map-side-combining aggregations; the loop-carried edge
+    set only shrinks. Round count is bounded by the peel depth, small
+    on power-law graphs (supports collapse fast); ``max_rounds`` caps
+    adversarial chains, trading exactness for bounded work (the
+    returned set is then a SUPERSET of the true k-truss).
+    """
+    if k < 3:
+        raise ValueError(f"k-truss requires k >= 3: {k}")
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    from .engine import bsp_loop_confs, materialize
+
+    rounds = max_rounds if max_rounds is not None else 10**9
+    with bsp_loop_confs(spark):
+        ue = undirect(edges).filter(F.col("src") != F.col("dst"))
+        e = materialize(
+            ue.filter(F.col("src") < F.col("dst"))
+            .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .distinct()
+            .repartition(n_part, "u")
+        )
+        n_edges = e.count()
+        supp = None
+        done = 0
+        while done < rounds and n_edges > 0:
+            supp = _edge_support(e)
+            # e re-enters with last round's support column; select it
+            # away so the fresh support is unambiguous
+            e = materialize(
+                e.select("u", "v")
+                .join(supp, ["u", "v"])
+                .filter(F.col("support") >= k - 2)
+                .repartition(n_part, "u")
+            )
+            done += 1
+            n_now = e.count()
+            if n_now == n_edges:
+                break
+            n_edges = n_now
+        if supp is None:  # empty input: keep the 3-column schema
+            return e.withColumn("support", F.lit(0).cast("long")).select(
+                "u", "v", "support"
+            )
+        return e.select("u", "v", "support")

@@ -24,6 +24,7 @@ from .dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
+from .decontam import contamination_overlap
 from .ranking import (
     bm25_scores,
     bm25_topk,
@@ -58,6 +59,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "simhash_pairs",
+    "contamination_overlap",
     "bm25_scores",
     "bm25_topk",
     "doc_lengths",

@@ -48,6 +48,11 @@ ALLOW = {
     "dedup_embedding": {"BroadcastNestedLoopJoin"},
     # media decode plumbing is mapInPandas by contract (binary columns)
     "media_features": {"ArrowEvalPython", "MapInPandas"},
+    # BM25/TF-IDF re-inject the 1-row (N, avgdl) scalar table via a
+    # broadcast cross join — the sanctioned scalar-broadcast shape
+    # (never a driver collect inside the plan)
+    "bm25": {"BroadcastNestedLoopJoin"},
+    "tfidf": {"BroadcastNestedLoopJoin"},
 }
 RED = ("CartesianProduct", "BatchEvalPython")
 VECTOR = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
