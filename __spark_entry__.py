@@ -419,6 +419,19 @@ def q_maxprop(spark, sf_dir):
     return res.vertices.select("id", "value")
 
 
+def q_salsa_k4(spark, sf_dir):
+    """SALSA on the bipartite part->supplier link graph (its native
+    habitat: parts are hubs, suppliers authorities)."""
+    from pregel_spark.graph import salsa
+
+    res = salsa(spark, _edges(spark, sf_dir), max_iter=4)
+    return res.vertices.select(
+        "id",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def q_hits_k5(spark, sf_dir):
     from pregel_spark.graph import hits
 
@@ -707,6 +720,21 @@ def q_fingerprint(spark, sf_dir):
     from pregel_spark.pipeline import fingerprint
 
     return fingerprint(_docs(spark, sf_dir))
+
+
+def q_repetition(spark, sf_dir):
+    from pregel_spark.pipeline import repetition_stats
+
+    r = repetition_stats(_docs(spark, sf_dir), ns=(2, 3))
+    return r.select(
+        "doc_id", "n_tokens", "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top2_frac", 6).alias("top2_frac"),
+        F.round("dup2_frac", 6).alias("dup2_frac"),
+        F.round("top3_frac", 6).alias("top3_frac"),
+        F.round("dup3_frac", 6).alias("dup3_frac"),
+    )
 
 
 def q_decontam(spark, sf_dir):
@@ -1131,6 +1159,41 @@ SELECT a, b, overlap FROM ov WHERE overlap >= 0.3
 """
 
 
+def _salsa_unrolled_sql(k: int, edges_sql: str) -> str:
+    """k SALSA iterations (two stochastic chains, degree-normalized
+    hops) as unrolled CTEs — mirrors graph.hits.salsa's float-op
+    order per term; round-6 absorbs sum-order ulps."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+b{i} AS (SELECT e.src AS id, sum(a{i}.a / idg.c) AS v
+        FROM e JOIN idg ON idg.dst = e.dst JOIN a{i} ON a{i}.id = e.dst
+        GROUP BY e.src),
+a{i + 1} AS (SELECT e.dst AS id, sum(b{i}.v / od.c) AS a
+        FROM e JOIN od ON od.src = e.src JOIN b{i} ON b{i}.id = e.src
+        GROUP BY e.dst),
+c{i} AS (SELECT e.dst AS id, sum(h{i}.h / od.c) AS v
+        FROM e JOIN od ON od.src = e.src JOIN h{i} ON h{i}.id = e.src
+        GROUP BY e.dst),
+h{i + 1} AS (SELECT e.src AS id, sum(c{i}.v / idg.c) AS h
+        FROM e JOIN idg ON idg.dst = e.dst JOIN c{i} ON c{i}.id = e.dst
+        GROUP BY e.src)""")
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src),
+idg AS (SELECT dst, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY dst),
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+nh AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM od),
+na AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM idg),
+a0 AS (SELECT dst AS id, 1.0 / n AS a FROM idg CROSS JOIN na),
+h0 AS (SELECT src AS id, 1.0 / n AS h FROM od CROSS JOIN nh),{",".join(steps)}
+SELECT v.id, round(COALESCE(a{k}.a, 0.0), 6) AS authority,
+       round(COALESCE(h{k}.h, 0.0), 6) AS hub
+FROM v LEFT JOIN a{k} ON a{k}.id = v.id LEFT JOIN h{k} ON h{k}.id = v.id
+"""
+
+
 def _truss_unrolled_sql(k: int, rounds: int, edges_sql: str) -> str:
     """``rounds`` k-truss peel rounds: per-round edge support = common
     neighbors over the CURRENT canonical edge set (adjacency
@@ -1362,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_k2": q_lpa_k2,
         "maxprop": q_maxprop,
         "hits_k5": q_hits_k5,
+        "salsa_k4": q_salsa_k4,
         "sssp_k8": q_sssp_k8,
         "sssp_k8_indexed": q_sssp_k8_indexed,
         "anchor_terms_k3": q_anchor_terms_k3,
@@ -1386,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dup": q_winnow_near_dup,
+        "repetition": q_repetition,
         "decontam": q_decontam,
         "bm25": q_bm25,
         "tfidf": q_tfidf,
@@ -1460,6 +1525,46 @@ nb AS (SELECT e.src AS v, e.dst AS x FROM e JOIN piv ON piv.v = e.src)
 SELECT u, w, count(*) AS n_common
 FROM (SELECT a.x AS u, b.x AS w FROM nb a JOIN nb b ON a.v = b.v AND a.x < b.x) p
 GROUP BY u, w HAVING count(*) >= 2
+""",
+        "repetition": r"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []
+                       ELSE string_split_regex(trim(text), '\s+') END AS w,
+                  string_split(text, chr(10)) AS lines
+           FROM documents),
+l AS (SELECT doc_id, unnest(lines) AS ln FROM t),
+lc AS (SELECT doc_id, ln, count(*) AS c FROM l GROUP BY doc_id, ln),
+ls AS (SELECT doc_id,
+              CAST(sum(c) AS BIGINT) AS n_lines,
+              CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupl,
+              CAST(sum(c * length(ln)) AS BIGINT) AS chars,
+              CAST(sum(CASE WHEN c >= 2 THEN c * length(ln) ELSE 0 END) AS BIGINT) AS dupchars
+       FROM lc GROUP BY doc_id),
+g2 AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+                              for i in range(1, len(w))]) AS g
+       FROM t WHERE len(w) >= 2),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+a2 AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top, CAST(sum(c) AS BIGINT) AS tot,
+              CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup
+       FROM c2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+                              for i in range(1, len(w) - 1)]) AS g
+       FROM t WHERE len(w) >= 3),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+a3 AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top, CAST(sum(c) AS BIGINT) AS tot,
+              CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup
+       FROM c3 GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens, ls.n_lines,
+       round(CAST(ls.dupl AS DOUBLE) / ls.n_lines, 6) AS dup_line_frac,
+       round(CASE WHEN ls.chars > 0
+                  THEN CAST(ls.dupchars AS DOUBLE) / ls.chars ELSE 0.0 END, 6)
+           AS dup_line_char_frac,
+       round(COALESCE(CAST(a2.top AS DOUBLE) / a2.tot, 0.0), 6) AS top2_frac,
+       round(COALESCE(CAST(a2.dup AS DOUBLE) / a2.tot, 0.0), 6) AS dup2_frac,
+       round(COALESCE(CAST(a3.top AS DOUBLE) / a3.tot, 0.0), 6) AS top3_frac,
+       round(COALESCE(CAST(a3.dup AS DOUBLE) / a3.tot, 0.0), 6) AS dup3_frac
+FROM t JOIN ls USING (doc_id)
+LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
 """,
         "decontam": r"""
 WITH toks AS (
@@ -1593,6 +1698,7 @@ mx AS (SELECT c.component, max(vals.value) AS mv
 SELECT c.id, mx.mv AS value FROM comp c JOIN mx ON mx.component = c.component
 """,
         "hits_k5": _hits_unrolled_sql(5, EDGES_SQL),
+        "salsa_k4": _salsa_unrolled_sql(4, EDGES_SQL),
         "sssp_k8": _sssp_unrolled_sql(8, W_EDGES_SQL, "c0"),
         "sssp_k8_indexed": _sssp_unrolled_sql(8, W_EDGES_SQL, "c0"),
         "anchor_terms_k3": f"""

@@ -18,7 +18,7 @@ from .components import connected_components, connected_components_star
 from .lpa import label_propagation
 from .triangles import k_truss, triangle_count, triangle_count_per_vertex
 from .maxprop import max_propagation
-from .hits import hits
+from .hits import hits, salsa
 from .sssp import shortest_paths
 from .kcore import k_core
 from .neighborhood import (
@@ -72,6 +72,7 @@ __all__ = [
     "triangle_count_per_vertex",
     "max_propagation",
     "hits",
+    "salsa",
     "shortest_paths",
     "k_core",
     "random_walks",

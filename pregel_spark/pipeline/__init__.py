@@ -11,6 +11,7 @@ from .textstats import (
     fingerprint,
     language_id,
     quality_score,
+    repetition_stats,
     token_stats,
     winnow_fingerprints,
     winnow_near_dup_pairs,
@@ -50,6 +51,7 @@ __all__ = [
     "fingerprint",
     "language_id",
     "quality_score",
+    "repetition_stats",
     "token_stats",
     "winnow_fingerprints",
     "winnow_near_dup_pairs",

@@ -213,3 +213,97 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     text — the canonical-form hash used for exact near-layout dedup."""
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return docs.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def _gram_instances(w: Column, n: int) -> Column:
+    """ALL word n-gram instances (with multiplicity, unlike
+    ``dedup.shingles_col`` which dedups) — repetition measures need
+    the multiset."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # sequence(0, -1) DESCENDS — short docs need the explicit empty
+    # branch (the same guard as dedup.shingles_col; regression-tested
+    # there at test_pipeline.py's short-doc cases)
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def repetition_stats(
+    docs: DataFrame, ns: tuple[int, ...] = (2, 3), id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1): the
+    quality rules that catch boilerplate, keyword-stuffed and
+    degenerate-generation documents.
+
+    Per document: (doc_id, n_tokens, n_lines, dup_line_frac,
+    dup_line_char_frac, top{n}_frac, dup{n}_frac for each n in ``ns``)
+    where
+
+    - ``dup_line_frac``: fraction of line instances (split on '\\n',
+      untrimmed) whose exact text occurs more than once in the doc;
+      ``dup_line_char_frac``: same weighted by line characters;
+    - ``top{n}_frac``: occurrences of the most frequent word n-gram /
+      total n-gram instances;
+    - ``dup{n}_frac``: fraction of n-gram instances whose gram occurs
+      >= 2 times.
+
+    Deviation from the paper, pinned for engine portability: fractions
+    are over token/line INSTANCES rather than characters for the
+    n-gram measures (the character weighting adds nothing once grams
+    are whitespace-joined, and the instance version is exactly
+    reproducible in any engine). Documents with no n-grams (shorter
+    than n tokens) report 0.0. All-native columns; per n, one explode
+    + one (doc, gram) partial-agg shuffle + one per-doc agg — the same
+    map-side-combine shape as ``term_index``, linear in corpus tokens.
+    """
+    toks = _tokens()
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("w"),
+        F.split(F.col("text"), "\n").alias("lines"),
+    )
+    lines = base.select("doc_id", F.explode("lines").alias("ln"))
+    lc = lines.groupBy("doc_id", "ln").agg(F.count(F.lit(1)).alias("c"))
+    zero = F.lit(0).cast("long")
+    line_stats = lc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(zero)).alias("dupl"),
+        F.sum(F.col("c") * F.length("ln")).alias("chars"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("ln")).otherwise(zero)
+        ).alias("dupchars"),
+    )
+    out = base.select("doc_id", F.size("w").cast("long").alias("n_tokens")).join(
+        line_stats.select(
+            "doc_id",
+            "n_lines",
+            (F.col("dupl") / F.col("n_lines")).alias("dup_line_frac"),
+            F.when(F.col("chars") > 0, F.col("dupchars") / F.col("chars"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_line_char_frac"),
+        ),
+        "doc_id",
+    )
+    for n in ns:
+        grams = base.select("doc_id", F.explode(_gram_instances(F.col("w"), n)).alias("g"))
+        cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        agg = cnt.groupBy("doc_id").agg(
+            F.max("c").alias("top"),
+            F.sum("c").alias("tot"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(zero)).alias("dup"),
+        )
+        stats = agg.select(
+            "doc_id",
+            (F.col("top") / F.col("tot")).alias(f"top{n}_frac"),
+            (F.col("dup") / F.col("tot")).alias(f"dup{n}_frac"),
+        )
+        out = (
+            out.join(stats, "doc_id", "left")
+            .withColumn(f"top{n}_frac", F.coalesce(f"top{n}_frac", F.lit(0.0)))
+            .withColumn(f"dup{n}_frac", F.coalesce(f"dup{n}_frac", F.lit(0.0)))
+        )
+    return out

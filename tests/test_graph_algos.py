@@ -317,3 +317,49 @@ def test_spam_mass_dense_oracle(spark):
     # f/g cycle is unreachable from 'a' except via restart leakage ->
     # nearly all their rank is untrusted
     assert got["f"][2] > 0.9 and got["g"][2] > 0.9
+
+
+def test_salsa_matches_dense_walk(spark):
+    """SALSA k=4 vs a dense NumPy simulation of the two stochastic
+    chains; mass conservation checked exactly."""
+    from pregel_spark.graph import salsa
+
+    pairs = [
+        ("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h2", "a3"),
+        ("h3", "a3"), ("h3", "a4"), ("h4", "a4"),
+        # a1 is also a hub for a5 (node on both sides)
+        ("a1", "a5"),
+    ]
+    res = salsa(spark, edges_df(spark, pairs), max_iter=4)
+    got = {r.id: (r.authority, r.hub) for r in res.vertices.collect()}
+
+    from collections import defaultdict
+
+    out, inn = defaultdict(set), defaultdict(set)
+    for s, t in set(pairs):
+        out[s].add(t)
+        inn[t].add(s)
+    hubs = sorted(out)
+    auths = sorted(inn)
+    a = {v: 1.0 / len(auths) for v in auths}
+    h = {v: 1.0 / len(hubs) for v in hubs}
+    for _ in range(4):
+        b = {i: sum(a[j] / len(inn[j]) for j in out[i]) for i in hubs}
+        a = defaultdict(float)
+        for i in hubs:
+            for k in out[i]:
+                a[k] += b[i] / len(out[i])
+        c = defaultdict(float)
+        for i in hubs:
+            for j in out[i]:
+                c[j] += h[i] / len(out[i])
+        h = {i: sum(c[j] / len(inn[j]) for j in out[i]) for i in hubs}
+    ids = set(hubs) | set(auths)
+    assert set(got) == ids
+    for v in ids:
+        assert np.isclose(got[v][0], a.get(v, 0.0), atol=1e-12), v
+        assert np.isclose(got[v][1], h.get(v, 0.0), atol=1e-12), v
+    # both chains conserve probability mass exactly
+    assert np.isclose(sum(x[0] for x in got.values()), 1.0, atol=1e-9)
+    assert np.isclose(sum(x[1] for x in got.values()), 1.0, atol=1e-9)
+    assert res.supersteps == 4

@@ -1,0 +1,76 @@
+"""Gopher-style repetition stats vs a pure-Python oracle."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from pregel_spark.pipeline import repetition_stats
+
+DOCS = [
+    (1, "a b a b a b a b"),                      # degenerate 2-gram loop
+    (2, "the quick brown fox jumps over fences"),  # no repetition
+    (3, "x\ny\nx\nz\nx"),                        # duplicate lines
+    (4, "one two"),                              # shorter than n=3
+    (5, " "),                                    # zero tokens
+    (6, "spam spam spam spam spam spam"),
+]
+
+
+def _py_stats(text, ns=(2, 3)):
+    toks = text.strip().split() if text.strip() else []
+    lines = text.split("\n")
+    lcnt = Counter(lines)
+    n_lines = len(lines)
+    dup_line = sum(c for c in lcnt.values() if c >= 2)
+    chars = sum(len(l) for l in lines)
+    dupchars = sum(c * len(l) for l, c in lcnt.items() if c >= 2)
+    out = {
+        "n_tokens": len(toks),
+        "n_lines": n_lines,
+        "dup_line_frac": dup_line / n_lines,
+        "dup_line_char_frac": (dupchars / chars) if chars > 0 else 0.0,
+    }
+    for n in ns:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            out[f"top{n}_frac"] = 0.0
+            out[f"dup{n}_frac"] = 0.0
+            continue
+        g = Counter(grams)
+        out[f"top{n}_frac"] = max(g.values()) / len(grams)
+        out[f"dup{n}_frac"] = sum(c for c in g.values() if c >= 2) / len(grams)
+    return out
+
+
+def test_repetition_matches_python_oracle(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in repetition_stats(df).collect()}
+    assert set(got) == {i for i, _ in DOCS}
+    for i, text in DOCS:
+        want = _py_stats(text)
+        g = got[i]
+        for k, v in want.items():
+            assert g[k] == pytest.approx(v, rel=1e-12), (i, k)
+
+
+def test_repetition_flags_degenerate_docs(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    # 'spam' x6: every 2-gram identical
+    assert got[6].top2_frac == 1.0 and got[6].dup2_frac == 1.0
+    # clean doc: no duplicate grams at all
+    assert got[2].dup2_frac == 0.0 and got[2].dup3_frac == 0.0
+    # duplicate lines: 3 of 5 line instances are 'x'
+    assert got[3].dup_line_frac == pytest.approx(3 / 5)
+    # too short for 3-grams -> 0.0 not null
+    assert got[4].top3_frac == 0.0
+    # whitespace-only doc: one empty line, no tokens
+    assert got[5].n_tokens == 0 and got[5].top2_frac == 0.0
+
+
+def test_repetition_custom_ns(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    cols = repetition_stats(df, ns=(4,)).columns
+    assert "top4_frac" in cols and "dup4_frac" in cols and "top2_frac" not in cols
