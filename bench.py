@@ -44,13 +44,26 @@ R2_COMPARABLE = [
 
 # round-3 additions (HITS / SSSP / k-core / host-rollup PageRank);
 # "value" sums everything, "r2_comparable_sec" isolates the old set
-HEADLINE = R2_COMPARABLE + [
+R3_CORE = R2_COMPARABLE + [
     "hits_k5",
     "sssp_k8",
     "kcore3_r4",
     "host_pagerank_k3",
     "neigh_k3",
     "mirror_pairs",
+]
+# late round-3 additions (ranking / decontamination / repetition /
+# SALSA / truss / redirects / co-citation); "r3_core_sec" isolates the
+# set above for mid-round comparisons
+HEADLINE = R3_CORE + [
+    "salsa_k4",
+    "spam_mass_k4",
+    "bm25",
+    "repetition",
+    "decontam",
+    "cocitation",
+    "truss5_r2",
+    "redirects",
 ]
 # scc_fixture / bowtie_fixture stay correctness-only: they run on the
 # constant ~60-vertex cyclic fixture, so their wall time is ~100 tiny
@@ -101,6 +114,7 @@ def main():
 
     total = round(sum(timings.values()), 3)
     r2_comparable = round(sum(timings[q] for q in R2_COMPARABLE), 3)
+    r3_core = round(sum(timings[q] for q in R3_CORE), 3)
     print(
         json.dumps(
             {
@@ -108,6 +122,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "r2_comparable_sec": r2_comparable,
+                "r3_core_sec": r3_core,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pagerank": extra,

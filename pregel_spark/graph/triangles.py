@@ -75,25 +75,6 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     )
 
 
-def _edge_support(e_canon: DataFrame) -> DataFrame:
-    """(u, v, support) for every canonical (u < v) edge: the number of
-    triangles the edge participates in. Edges in no triangle get no
-    row (callers coalesce to 0). Uses the same degree-ordered oriented
-    wedge join as :func:`_triangles`, so the fan-out stays
-    arboricity-bounded on skewed graphs."""
-    tris = _triangles(e_canon.select(F.col("u").alias("src"), F.col("v").alias("dst")))
-    credits = (
-        tris.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
-        .unionByName(
-            tris.select(F.least("u", "w").alias("u"), F.greatest("u", "w").alias("v"))
-        )
-        .unionByName(
-            tris.select(F.least("v", "w").alias("u"), F.greatest("v", "w").alias("v"))
-        )
-    )
-    return credits.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
-
-
 def k_truss(
     spark,
     edges: DataFrame,
@@ -113,13 +94,19 @@ def k_truss(
     final executed round — for a fixpoint run that IS each edge's
     support inside the truss.
 
-    Scale: each round is one triangle enumeration (degree-oriented
-    wedge join — arboricity-bounded, hub-safe) + one count + one
-    filter, all map-side-combining aggregations; the loop-carried edge
-    set only shrinks. Round count is bounded by the peel depth, small
-    on power-law graphs (supports collapse fast); ``max_rounds`` caps
-    adversarial chains, trading exactness for bounded work (the
-    returned set is then a SUPERSET of the true k-truss).
+    Scale: each round is one triangle enumeration + one support agg +
+    one filter join, all map-side-combining; the loop-carried edge set
+    only shrinks. The degree orientation is computed ONCE from the
+    initial graph — any FIXED total vertex order keeps triangle
+    enumeration exact on every subgraph, so the loop carries
+    already-oriented edges partitioned on the pivot (the wedge
+    self-join re-enters exchange-free; per-round degree re-derivation
+    would add three O(E) exchanges for only a marginally tighter
+    wedge bound after heavy peels). Round count is bounded by the
+    peel depth, small on power-law graphs (supports collapse fast);
+    ``max_rounds`` caps adversarial chains, trading exactness for
+    bounded work (the returned set is then a SUPERSET of the true
+    k-truss).
     """
     if k < 3:
         raise ValueError(f"k-truss requires k >= 3: {k}")
@@ -129,32 +116,80 @@ def k_truss(
     rounds = max_rounds if max_rounds is not None else 10**9
     with bsp_loop_confs(spark):
         ue = undirect(edges).filter(F.col("src") != F.col("dst"))
-        e = materialize(
+        canon = (
             ue.filter(F.col("src") < F.col("dst"))
             .select(F.col("src").alias("u"), F.col("dst").alias("v"))
             .distinct()
-            .repartition(n_part, "u")
+        )
+        deg = (
+            canon.select(F.col("u").alias("id"))
+            .unionByName(canon.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        u_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        e = materialize(
+            canon.join(
+                deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u"
+            )
+            .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+            .select(
+                F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+                F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            )
+            .repartition(n_part, "a")
         )
         n_edges = e.count()
-        supp = None
+        have_supp = False
         done = 0
         while done < rounds and n_edges > 0:
-            supp = _edge_support(e)
-            # e re-enters with last round's support column; select it
-            # away so the fresh support is unambiguous
-            e = materialize(
-                e.select("u", "v")
-                .join(supp, ["u", "v"])
-                .filter(F.col("support") >= k - 2)
-                .repartition(n_part, "u")
+            e1 = e.select("a", F.col("b").alias("v"))
+            e2 = e.select("a", F.col("b").alias("w"))
+            wedges = e1.join(e2, "a").filter(F.col("v") < F.col("w"))
+            closer = e.select(
+                F.least("a", "b").alias("v"), F.greatest("a", "b").alias("w")
             )
+            tris = wedges.join(closer, ["v", "w"], "left_semi")
+            credits = (
+                tris.select(F.least("a", "v").alias("u"), F.greatest("a", "v").alias("v"))
+                .unionByName(
+                    tris.select(
+                        F.least("a", "w").alias("u"), F.greatest("a", "w").alias("v")
+                    )
+                )
+                .unionByName(
+                    tris.select(F.col("v").alias("u"), F.col("w").alias("v"))
+                )
+            )
+            kept = (
+                credits.groupBy("u", "v")
+                .agg(F.count(F.lit(1)).alias("support"))
+                .filter(F.col("support") >= k - 2)
+            )
+            e = materialize(
+                e.select("a", "b")
+                .withColumn("u", F.least("a", "b"))
+                .withColumn("v", F.greatest("a", "b"))
+                .join(kept, ["u", "v"])
+                .select("a", "b", "support")
+                .repartition(n_part, "a")
+            )
+            have_supp = True
             done += 1
             n_now = e.count()
             if n_now == n_edges:
                 break
             n_edges = n_now
-        if supp is None:  # empty input: keep the 3-column schema
-            return e.withColumn("support", F.lit(0).cast("long")).select(
-                "u", "v", "support"
+        if not have_supp:  # empty input: keep the 3-column schema
+            return e.select(
+                F.least("a", "b").alias("u"),
+                F.greatest("a", "b").alias("v"),
+                F.lit(0).cast("long").alias("support"),
             )
-        return e.select("u", "v", "support")
+        return e.select(
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+            "support",
+        )
