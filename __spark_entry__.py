@@ -722,6 +722,30 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization rollup over the events table (30-min
+    cut, integer-microsecond time arithmetic)."""
+    from pregel_spark.pipeline import session_stats
+
+    _register_views(spark, sf_dir)
+    ev = spark.table("events")
+    return session_stats(ev).select(
+        "user_id", "session_idx", "n_events", "start_us", "end_us",
+        F.round("duration_sec", 6).alias("duration_sec"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic training-mix sampling: per-language rates via the
+    portable seeded hash — identical member sets in any engine."""
+    from pregel_spark.pipeline import stratified_sample
+
+    rates = {"en": 0.8, "de": 0.2, "fr": 0.5}
+    return stratified_sample(
+        _docs(spark, sf_dir), rates, default_rate=0.1, seed=7
+    ).select("doc_id", "lang")
+
+
 def q_repetition(spark, sf_dir):
     from pregel_spark.pipeline import repetition_stats
 
@@ -1450,6 +1474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dup": q_winnow_near_dup,
+        "sessions": q_sessions,
+        "stratified_sample": q_stratified_sample,
         "repetition": q_repetition,
         "decontam": q_decontam,
         "bm25": q_bm25,
@@ -1482,6 +1508,9 @@ def oracle_sql() -> dict[str, str]:
     from pregel_spark.extraction import duckdb_canonical_url as _duckdb_canonical_url
     from pregel_spark.graph.build import (
         duckdb_vertex_sample_pred as _duckdb_sample_pred,
+    )
+    from pregel_spark.pipeline import (
+        duckdb_stratified_sample_pred as _duckdb_strat_pred,
     )
 
     edges_cte = f"e0 AS ({EDGES_SQL})"
@@ -1526,6 +1555,29 @@ SELECT u, w, count(*) AS n_common
 FROM (SELECT a.x AS u, b.x AS w FROM nb a JOIN nb b ON a.v = b.v AND a.x < b.x) p
 GROUP BY u, w HAVING count(*) >= 2
 """,
+        "sessions": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+s AS (SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS st
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+x AS (SELECT user_id, us, event_id,
+             CAST(sum(st) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_idx
+      FROM s)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       round((max(us) - min(us)) / 1000000.0, 6) AS duration_sec
+FROM x GROUP BY user_id, session_idx
+""",
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            + _duckdb_strat_pred(
+                {"en": 0.8, "de": 0.2, "fr": 0.5}, default_rate=0.1, seed=7
+            )
+        ),
         "repetition": r"""
 WITH t AS (SELECT doc_id,
                   CASE WHEN length(trim(text)) = 0 THEN []

@@ -25,7 +25,13 @@ from .dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
+from .curation import (
+    duckdb_stratified_sample_pred,
+    stratified_sample,
+    stratified_sample_pred,
+)
 from .decontam import contamination_overlap
+from .sessions import session_stats, sessionize
 from .ranking import (
     bm25_scores,
     bm25_topk,
@@ -62,6 +68,11 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_pairs",
     "contamination_overlap",
+    "stratified_sample",
+    "stratified_sample_pred",
+    "duckdb_stratified_sample_pred",
+    "sessionize",
+    "session_stats",
     "bm25_scores",
     "bm25_topk",
     "doc_lengths",
