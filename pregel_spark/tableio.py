@@ -35,22 +35,41 @@ def write_table(
     meta: dict | None = None,
     partition_cols: list[str] | None = None,
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> dict:
-    """Write df as parquet + manifest; returns the manifest dict."""
+    """Write df as a table; returns the manifest dict.
+
+    ``fmt='parquet'`` (default): parquet + ``_manifest.json``.
+    ``fmt='iceberg'``: a path-based (hadoop-catalog) Iceberg table via
+    the DataSource API — requires the ``iceberg-spark-runtime`` jar
+    (``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13``
+    on a real deployment); no side manifest is written because
+    Iceberg's own snapshot metadata subsumes it (the returned dict is
+    still produced for the caller). Exercised by
+    ``tests/test_iceberg.py``, which skips where the jar is absent
+    (this container)."""
     w = df.write.mode(mode)
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.parquet(path)
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "iceberg":
+        w.format("iceberg").save(path)
+    else:
+        raise ValueError(f"fmt must be 'parquet' or 'iceberg': {fmt}")
     man = {
         "schema": df.schema.jsonValue(),
         "meta": meta or {},
     }
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(man, f)
+    if fmt == "parquet":
+        with open(os.path.join(path, MANIFEST), "w") as f:
+            json.dump(man, f)
     return man
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path)
     return spark.read.parquet(path)
 
 
