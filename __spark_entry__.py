@@ -190,6 +190,20 @@ FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE a.c_custkey <= 6 AND b.c_custkey <= 6
 """
 
+# PII fixture: synthesized contact strings (email / intl phone /
+# dotted-quad IP per customer, second email on every third) — the
+# testdata corpus itself contains no PII, so both engines derive this
+# text identically and the counts are non-trivial
+PII_DOCS_SQL = """
+SELECT c_custkey AS doc_id,
+       'contact user' || CAST(c_custkey AS STRING) || '@example.com or +1415'
+       || CAST(1000000 + c_custkey AS STRING) || ' at 10.0.'
+       || CAST(c_custkey % 256 AS STRING) || '.1 '
+       || CASE WHEN c_custkey % 3 = 0 THEN 'second@mail.example.org ' ELSE '' END
+       || c_name AS text
+FROM customer
+"""
+
 # redirect fixture: descending chains of <= 9 hops (u_c -> u_{c-1},
 # broken at c % 10 == 1 so u_{10k+1} are the terminals) plus one
 # 3-cycle r1 -> r2 -> r3 -> r1 — both engines derive it from this text
@@ -720,6 +734,22 @@ def q_fingerprint(spark, sf_dir):
     from pregel_spark.pipeline import fingerprint
 
     return fingerprint(_docs(spark, sf_dir))
+
+
+def q_unigram_lm(spark, sf_dir):
+    from pregel_spark.pipeline import unigram_logprob
+
+    r = unigram_logprob(_docs(spark, sf_dir))
+    return r.select(
+        "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
+    )
+
+
+def q_pii_scan(spark, sf_dir):
+    from pregel_spark.pipeline import pii_counts
+
+    _register_views(spark, sf_dir)
+    return pii_counts(spark.sql(PII_DOCS_SQL))
 
 
 def q_sessions(spark, sf_dir):
@@ -1474,6 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dup": q_winnow_near_dup,
+        "unigram_lm": q_unigram_lm,
+        "pii_scan": q_pii_scan,
         "sessions": q_sessions,
         "stratified_sample": q_stratified_sample,
         "repetition": q_repetition,
@@ -1554,6 +1586,31 @@ nb AS (SELECT e.src AS v, e.dst AS x FROM e JOIN piv ON piv.v = e.src)
 SELECT u, w, count(*) AS n_common
 FROM (SELECT a.x AS u, b.x AS w FROM nb a JOIN nb b ON a.v = b.v AND a.x < b.x) p
 GROUP BY u, w HAVING count(*) >= 2
+""",
+        "unigram_lm": r"""
+WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE string_split_regex(trim(text), '\s+') END AS w
+           FROM documents),
+i AS (SELECT doc_id, unnest(w) AS term FROM t),
+tc AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM i GROUP BY term),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM i),
+sc AS (SELECT doc_id, avg(ln(c / n)) AS mlp
+       FROM i JOIN tc USING (term) CROSS JOIN tot GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       round(COALESCE(sc.mlp, 0.0), 6) AS mean_logprob
+FROM t LEFT JOIN sc USING (doc_id)
+""",
+        "pii_scan": f"""
+WITH p AS ({PII_DOCS_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INTEGER)
+           AS emails,
+       CAST(len(regexp_extract_all(text,
+            '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS INTEGER) AS ipv4s,
+       CAST(len(regexp_extract_all(text, '\\+[0-9]{{7,15}}')) AS INTEGER)
+           AS intl_phones
+FROM p
 """,
         "sessions": """
 WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),

@@ -10,9 +10,11 @@ media decode) — never per-row Python UDFs.
 from .textstats import (
     fingerprint,
     language_id,
+    pii_counts,
     quality_score,
     repetition_stats,
     token_stats,
+    unigram_logprob,
     winnow_fingerprints,
     winnow_near_dup_pairs,
 )
@@ -56,9 +58,11 @@ __all__ = [
     "embedding_near_dup_pairs",
     "fingerprint",
     "language_id",
+    "pii_counts",
     "quality_score",
     "repetition_stats",
     "token_stats",
+    "unigram_logprob",
     "winnow_fingerprints",
     "winnow_near_dup_pairs",
     "exact_dedup",

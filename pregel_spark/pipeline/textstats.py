@@ -307,3 +307,60 @@ def repetition_stats(
             .withColumn(f"dup{n}_frac", F.coalesce(f"dup{n}_frac", F.lit(0.0)))
         )
     return out
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus-unigram language-model score — the classic cheap
+    gibberish/outlier detector (the poor man's perplexity filter):
+    fit p(w) = count(w)/total over the WHOLE corpus, then score each
+    document by its mean token log-probability. Rare-vocabulary
+    documents (mojibake, base64 blobs, lorem noise) sit far below the
+    corpus mode. No smoothing is needed: every scored token is in the
+    corpus by construction (the doc itself contributes), so p(w) > 0.
+
+    Returns (doc_id, n_tokens, mean_logprob); zero-token docs report
+    0.0 (no tokens to score). Scale: one explode feeding (a) the
+    global (term, count) table — vocabulary-sized, map-side combined —
+    and (b) the per-doc score join keyed on term; corpus totals ride a
+    1-row broadcast cross join. Linear in corpus tokens.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), _tokens().alias("w"))
+    inst = toks.select("doc_id", F.explode("w").alias("term"))
+    tc = inst.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = inst.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    scored = (
+        inst.join(tc, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("c") / F.col("n_total"))).alias("mean_logprob"))
+    )
+    return (
+        toks.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("mean_logprob", F.lit(0.0)).alias("mean_logprob"),
+        )
+    )
+
+
+# PII patterns, pinned to constructs that behave identically under
+# Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4s": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+    "intl_phones": r"\+[0-9]{7,15}",
+}
+
+
+def pii_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII-pattern hit counts (emails, dotted-quad IPs,
+    international-format phone numbers) — the scrubbing/redaction
+    signal every web-scale training pipeline computes before release.
+    Detection only (counts); redaction policy is the caller's.
+    All-native ``regexp_count`` at the scan, zero shuffles."""
+    out = docs.select(F.col(id_col).alias("doc_id"), "text")
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(name, F.regexp_count(F.col("text"), F.lit(pat)))
+    return out.drop("text")

@@ -53,6 +53,7 @@ ALLOW = {
     # (never a driver collect inside the plan)
     "bm25": {"BroadcastNestedLoopJoin"},
     "tfidf": {"BroadcastNestedLoopJoin"},
+    "unigram_lm": {"BroadcastNestedLoopJoin"},
 }
 RED = ("CartesianProduct", "BatchEvalPython")
 VECTOR = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -74,3 +74,47 @@ def test_repetition_custom_ns(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     cols = repetition_stats(df, ns=(4,)).columns
     assert "top4_frac" in cols and "dup4_frac" in cols and "top2_frac" not in cols
+
+
+def test_unigram_logprob_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from pregel_spark.pipeline import unigram_logprob
+
+    docs = [
+        (1, "a a a b"),
+        (2, "b c"),
+        (3, "zzz"),      # rare token -> lowest score
+        (4, "  "),       # no tokens -> 0.0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.mean_logprob) for r in unigram_logprob(df).collect()}
+
+    toks = {i: t.split() for i, t in docs}
+    cnt = Counter(w for ws in toks.values() for w in ws)
+    n = sum(cnt.values())
+    for i, ws in toks.items():
+        want = sum(math.log(cnt[w] / n) for w in ws) / len(ws) if ws else 0.0
+        ntok, mlp = got[i]
+        assert ntok == len(ws)
+        assert mlp == pytest.approx(want, rel=1e-12), i
+    # rare-token doc scores lowest among non-empty docs
+    assert got[3][1] == min(v for k, (_n, v) in got.items() if k != 4)
+
+
+def test_pii_counts(spark):
+    from pregel_spark.pipeline import pii_counts
+
+    docs = [
+        (1, "mail a.b+c@sub.example.org and d@e.io twice"),
+        (2, "server at 192.168.0.1 and 10.0.255.3; call +4917012345678"),
+        (3, "no pii here, just text. +123 too short, 1.2.3 not an ip"),
+        (4, "+1234567 minimal phone; web@x.co"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.emails, r.ipv4s, r.intl_phones) for r in pii_counts(df).collect()}
+    assert got[1] == (2, 0, 0)
+    assert got[2] == (0, 2, 1)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (1, 0, 1)
