@@ -613,6 +613,23 @@ def q_adamic_adar(spark, sf_dir):
     ).select("u", "w", "n_common", F.round("aa_score", 6).alias("aa_score"))
 
 
+def q_betweenness_l4(spark, sf_dir):
+    """Bounded-distance (<=4 hop) Brandes betweenness from the three
+    lexicographically-smallest sources on the circulant customer graph
+    (offset-3 targets have two equal-length paths, so sigma splitting
+    is exercised); the same pick/truncation the oracle makes."""
+    from pregel_spark.graph import betweenness
+
+    edges = _tri_edges(spark, sf_dir)
+    sources = [
+        r["src"]
+        for r in edges.select("src").distinct().orderBy("src").limit(3).collect()
+    ]
+    return betweenness(spark, edges, sources, max_depth=4).select(
+        "id", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
 def q_truss5_r2(spark, sf_dir):
     """Two 5-truss peel rounds (fixed-round contract, like kcore3_r4):
     the chain cascades away, the K6 core survives with its round-2
@@ -1248,6 +1265,53 @@ FROM v LEFT JOIN a{k} ON a{k}.id = v.id LEFT JOIN h{k} ON h{k}.id = v.id
 """
 
 
+def _betweenness_unrolled_sql(depth: int, edges_sql: str, n_sources: int = 3) -> str:
+    """Bounded-depth k-source Brandes as unrolled CTEs: ``depth``
+    forward levels (frontier scatter + sigma sum + visited anti-join)
+    then ``depth`` backward dependency levels — mirrors
+    graph.betweenness.betweenness's float-op order per term."""
+    fwd = []
+    for d in range(depth):
+        fwd.append(f"""
+m{d} AS (SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma
+        FROM l{d} f JOIN e ON e.src = f.v GROUP BY f.s, e.dst),
+l{d + 1} AS (SELECT m.s, m.v, CAST(sum(m.sigma) AS BIGINT) AS sigma
+        FROM m{d} m
+        WHERE NOT EXISTS (SELECT 1 FROM vis{d} x
+                          WHERE x.s = m.s AND x.v = m.v)
+        GROUP BY m.s, m.v),
+vis{d + 1} AS (SELECT s, v FROM vis{d}
+               UNION ALL SELECT s, v FROM l{d + 1})""")
+    bwd = []
+    for d in range(depth, 0, -1):
+        prev_delta = (
+            f"COALESCE(dl{d}.delta, 0.0)" if d < depth else "0.0"
+        )
+        prev_join = (
+            f"LEFT JOIN dl{d} ON dl{d}.s = w.s AND dl{d}.v = w.v" if d < depth else ""
+        )
+        bwd.append(f"""
+dl{d - 1} AS (SELECT w.s, e.src AS v,
+        sum(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+            * (1.0 + {prev_delta})) AS delta
+        FROM l{d} w {prev_join}
+        JOIN e ON e.dst = w.v
+        JOIN l{d - 1} pv ON pv.s = w.s AND pv.v = e.src
+        GROUP BY w.s, e.src)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT s, v, delta FROM dl{d}" for d in range(depth)
+    )
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+sv AS (SELECT DISTINCT src AS s FROM e ORDER BY src LIMIT {n_sources}),
+l0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM sv),
+vis0 AS (SELECT s, v FROM l0),{",".join(fwd)},{",".join(bwd)}
+SELECT v AS id, round(sum(delta), 6) AS betweenness
+FROM ({unions}) ad WHERE v <> s GROUP BY v
+"""
+
+
 def _truss_unrolled_sql(k: int, rounds: int, edges_sql: str) -> str:
     """``rounds`` k-truss peel rounds: per-round edge support = common
     neighbors over the CURRENT canonical edge set (adjacency
@@ -1490,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "host_pagerank_k3": q_host_pagerank_k3,
         "kcore3_r4": q_kcore3_r4,
+        "betweenness_l4": q_betweenness_l4,
         "truss5_r2": q_truss5_r2,
         "redirects": q_redirects,
         "spam_mass_k4": q_spam_mass_k4,
@@ -1563,6 +1628,7 @@ FROM ids LEFT JOIN out_d ON ids.id = out_d.id LEFT JOIN in_d ON ids.id = in_d.id
         "pagerank_k8": _pagerank_unrolled_sql(8, EDGES_SQL),
         "ppr_k4": _ppr_unrolled_sql(4, EDGES_SQL),
         "spam_mass_k4": _spam_mass_unrolled_sql(4, EDGES_SQL),
+        "betweenness_l4": _betweenness_unrolled_sql(4, TRI_EDGES_SQL),
         "truss5_r2": _truss_unrolled_sql(5, 2, TRUSS_EDGES_SQL),
         "redirects": f"""
 WITH RECURSIVE m AS (

@@ -28,6 +28,7 @@ from .neighborhood import (
 )
 from .scc import bowtie, strongly_connected_components
 from .mirrors import exact_mirror_groups, mirror_pairs, outlink_docs
+from .betweenness import betweenness
 from .redirects import resolve_redirects
 from .structure import (
     adamic_adar,
@@ -91,4 +92,5 @@ __all__ = [
     "exact_mirror_groups",
     "mirror_pairs",
     "resolve_redirects",
+    "betweenness",
 ]
