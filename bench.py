@@ -64,6 +64,11 @@ HEADLINE = R3_CORE + [
     "cocitation",
     "truss5_r2",
     "redirects",
+    "betweenness_l4",
+    "sessions",
+    "unigram_lm",
+    "pii_scan",
+    "stratified_sample",
 ]
 # scc_fixture / bowtie_fixture stay correctness-only: they run on the
 # constant ~60-vertex cyclic fixture, so their wall time is ~100 tiny
