@@ -613,6 +613,14 @@ def q_adamic_adar(spark, sf_dir):
     ).select("u", "w", "n_common", F.round("aa_score", 6).alias("aa_score"))
 
 
+def q_mis(spark, sf_dir):
+    """Deterministic Luby MIS on the circulant customer graph —
+    portable-hash priorities make the selected set engine-exact."""
+    from pregel_spark.graph import maximal_independent_set
+
+    return maximal_independent_set(spark, _tri_edges(spark, sf_dir), seed=0)
+
+
 def q_betweenness_l4(spark, sf_dir):
     """Bounded-distance (<=4 hop) Brandes betweenness from the three
     lexicographically-smallest sources on the circulant customer graph
@@ -1265,6 +1273,44 @@ FROM v LEFT JOIN a{k} ON a{k}.id = v.id LEFT JOIN h{k} ON h{k}.id = v.id
 """
 
 
+def _mis_unrolled_sql(rounds: int, edges_sql: str, seed: int = 0) -> str:
+    """Deterministic Luby MIS unrolled: per round, portable-hash
+    priorities (md5-60, same family as graph.mis), neighbor-min over
+    the live edge set, strict-local-minimum winners, neighborhood
+    removal. Priorities compare as the zero-padded hex encoding
+    'h:id' whose lexicographic order equals the Spark (h, id) struct
+    order. Extra rounds past quiescence are empty no-ops."""
+    steps = []
+    uni = ["SELECT id, 0 AS round FROM iso"]
+    for r in range(1, rounds + 1):
+        h = _H60.format(x=f"('{seed}:{r}:' || id)")
+        steps.append(f"""
+p{r} AS MATERIALIZED (SELECT id, printf('%015x', {h}) || ':' || id AS p FROM lv{r - 1}),
+el{r} AS MATERIALIZED (SELECT ue.u, ue.v FROM ue
+          WHERE ue.u IN (SELECT id FROM lv{r - 1})
+            AND ue.v IN (SELECT id FROM lv{r - 1})),
+nm{r} AS MATERIALIZED (SELECT el.u AS id, min(p.p) AS nmin
+          FROM el{r} el JOIN p{r} p ON p.id = el.v GROUP BY el.u),
+w{r} AS MATERIALIZED (SELECT p.id FROM p{r} p LEFT JOIN nm{r} n ON n.id = p.id
+         WHERE n.nmin IS NULL OR p.p < n.nmin),
+d{r} AS MATERIALIZED (SELECT id FROM w{r}
+         UNION
+         SELECT el.v AS id FROM el{r} el JOIN w{r} w ON w.id = el.u),
+lv{r} AS MATERIALIZED (SELECT id FROM lv{r - 1}
+          WHERE id NOT IN (SELECT id FROM d{r}))""")
+        uni.append(f"SELECT id, {r} AS round FROM w{r}")
+    return f"""
+WITH e0 AS ({edges_sql}),
+ue AS MATERIALIZED (SELECT src AS u, dst AS v FROM e0 WHERE src <> dst
+       UNION
+       SELECT dst AS u, src AS v FROM e0 WHERE src <> dst),
+allv AS (SELECT src AS id FROM e0 UNION SELECT dst AS id FROM e0),
+lv0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM ue),
+iso AS (SELECT id FROM allv WHERE id NOT IN (SELECT id FROM lv0)),{",".join(steps)}
+SELECT id, round FROM ({" UNION ALL ".join(uni)}) z
+"""
+
+
 def _betweenness_unrolled_sql(depth: int, edges_sql: str, n_sources: int = 3) -> str:
     """Bounded-depth k-source Brandes as unrolled CTEs: ``depth``
     forward levels (frontier scatter + sigma sum + visited anti-join)
@@ -1554,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "host_pagerank_k3": q_host_pagerank_k3,
         "kcore3_r4": q_kcore3_r4,
+        "mis": q_mis,
         "betweenness_l4": q_betweenness_l4,
         "truss5_r2": q_truss5_r2,
         "redirects": q_redirects,
@@ -1628,6 +1675,7 @@ FROM ids LEFT JOIN out_d ON ids.id = out_d.id LEFT JOIN in_d ON ids.id = in_d.id
         "pagerank_k8": _pagerank_unrolled_sql(8, EDGES_SQL),
         "ppr_k4": _ppr_unrolled_sql(4, EDGES_SQL),
         "spam_mass_k4": _spam_mass_unrolled_sql(4, EDGES_SQL),
+        "mis": _mis_unrolled_sql(6, TRI_EDGES_SQL),
         "betweenness_l4": _betweenness_unrolled_sql(4, TRI_EDGES_SQL),
         "truss5_r2": _truss_unrolled_sql(5, 2, TRUSS_EDGES_SQL),
         "redirects": f"""

@@ -29,6 +29,7 @@ from .neighborhood import (
 from .scc import bowtie, strongly_connected_components
 from .mirrors import exact_mirror_groups, mirror_pairs, outlink_docs
 from .betweenness import betweenness
+from .mis import maximal_independent_set
 from .redirects import resolve_redirects
 from .structure import (
     adamic_adar,
@@ -93,4 +94,5 @@ __all__ = [
     "mirror_pairs",
     "resolve_redirects",
     "betweenness",
+    "maximal_independent_set",
 ]
