@@ -761,6 +761,22 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_curate(spark, sf_dir):
+    """End-to-end curation verdicts: exact/near dedup + language +
+    length + quality + repetition chained with pinned reason priority
+    — the composition row for the whole LLM-pipeline surface."""
+    from pregel_spark.pipeline import curate_corpus
+
+    return curate_corpus(
+        spark, _docs(spark, sf_dir),
+        allowed_langs=("en", "de"),
+        min_tokens=20,
+        min_quality=0.6,
+        max_top2_frac=0.1,
+        near_dup_threshold=0.1,
+    )
+
+
 def q_unigram_lm(spark, sf_dir):
     from pregel_spark.pipeline import unigram_logprob
 
@@ -1616,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_near_dup": q_winnow_near_dup,
+        "curate": q_curate,
         "unigram_lm": q_unigram_lm,
         "pii_scan": q_pii_scan,
         "sessions": q_sessions,
@@ -1700,6 +1717,85 @@ nb AS (SELECT e.src AS v, e.dst AS x FROM e JOIN piv ON piv.v = e.src)
 SELECT u, w, count(*) AS n_common
 FROM (SELECT a.x AS u, b.x AS w FROM nb a JOIN nb b ON a.v = b.v AND a.x < b.x) p
 GROUP BY u, w HAVING count(*) >= 2
+""",
+        "curate": r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0),
+sh0 AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS shs
+    FROM toks WHERE len(w) >= 3),
+sh AS (SELECT doc_id AS id, unnest(shs) AS sh FROM sh0),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+dfreq AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+rare AS (SELECT s.id, s.sh FROM sh s JOIN dfreq ON s.sh = dfreq.sh WHERE dfreq.c <= 100),
+inter AS (SELECT x.id AS a, y.id AS b, count(*) AS i
+          FROM rare x JOIN rare y ON x.sh = y.sh AND x.id < y.id
+          GROUP BY x.id, y.id),
+p AS (SELECT a, b FROM inter
+      JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+      WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.1),
+uep AS (SELECT a AS s, b AS d FROM p UNION SELECT b, a FROM p),
+reach(id, lbl) AS (
+    SELECT s, s FROM uep
+    UNION
+    SELECT uep.d, r.lbl FROM reach r JOIN uep ON uep.s = r.id),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       FROM documents),
+t2 AS (SELECT doc_id, text,
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END AS w
+       FROM documents),
+lv AS (SELECT doc_id,
+              len(list_filter(w, x -> list_contains(['der','die','und','das','ist','ein','nicht'], lower(x)))) AS v_de,
+              len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it'], lower(x)))) AS v_en,
+              len(list_filter(w, x -> list_contains(['el','la','y','de','que','los','es'], lower(x)))) AS v_es,
+              len(list_filter(w, x -> list_contains(['le','la','et','les','des','est','un'], lower(x)))) AS v_fr
+       FROM t2),
+lg AS (SELECT doc_id,
+              CASE WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
+                   WHEN v_de = greatest(v_de, v_en, v_es, v_fr) THEN 'de'
+                   WHEN v_en = greatest(v_de, v_en, v_es, v_fr) THEN 'en'
+                   WHEN v_es = greatest(v_de, v_en, v_es, v_fr) THEN 'es'
+                   ELSE 'fr' END AS lang_pred
+       FROM lv),
+qm AS (SELECT doc_id,
+              CAST(len(w) AS INTEGER) AS n_tokens,
+              len(regexp_extract_all(text, '[.!?,;:]'))
+                / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+              len(list_filter(w, x -> list_contains(
+                    ['the','a','and','of','to','in','is','it'], lower(x))))
+                / CAST(greatest(len(w), 1) AS DOUBLE) AS sr
+       FROM t2),
+qq AS (SELECT doc_id, n_tokens,
+              round(0.4 * least(1.0, n_tokens / 50.0)
+                    + 0.3 * (1.0 - least(1.0, pr * 10))
+                    + 0.3 * least(1.0, sr * 5), 6) AS quality
+       FROM qm),
+g2 AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+                              for i in range(1, len(w))]) AS g
+       FROM t2 WHERE len(w) >= 2),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+rp AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top2
+       FROM c2 GROUP BY doc_id),
+nd AS (SELECT d.doc_id,
+              (d.doc_id = COALESCE(c.cluster_id, d.doc_id)) AS nd_keep
+       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+verdict AS (
+    SELECT ex.doc_id,
+           CASE WHEN ex.doc_id <> ex.keep_id THEN 'exact_dup'
+                WHEN NOT nd.nd_keep THEN 'near_dup'
+                WHEN lg.lang_pred NOT IN ('en', 'de') THEN 'lang'
+                WHEN qq.n_tokens < 20 THEN 'too_short'
+                WHEN qq.n_tokens > 1000000 THEN 'too_long'
+                WHEN qq.quality < 0.6 THEN 'low_quality'
+                WHEN COALESCE(rp.top2, 0.0) > 0.1 THEN 'repetitive'
+                ELSE 'ok' END AS reason
+    FROM ex JOIN nd USING (doc_id) JOIN lg USING (doc_id)
+            JOIN qq USING (doc_id) LEFT JOIN rp USING (doc_id))
+SELECT doc_id, (reason = 'ok') AS keep, reason FROM verdict
 """,
         "unigram_lm": r"""
 WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []

@@ -28,6 +28,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .curation import (
+    curate_corpus,
     duckdb_stratified_sample_pred,
     stratified_sample,
     stratified_sample_pred,
@@ -72,6 +73,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_pairs",
     "contamination_overlap",
+    "curate_corpus",
     "stratified_sample",
     "stratified_sample_pred",
     "duckdb_stratified_sample_pred",

@@ -17,7 +17,7 @@ the hash is native md5 arithmetic; no shuffle, no join, no state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _PPM = 1_000_000
 
@@ -80,3 +80,76 @@ def duckdb_stratified_sample_pred(
         f"(({duckdb_seeded_hash60(seed, id_col)}) % {_PPM}) < "
         f"(CASE {case} ELSE {_ppm(default_rate)} END)"
     )
+
+
+def curate_corpus(
+    spark,
+    docs: DataFrame,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
+    min_quality: float = 0.5,
+    max_top2_frac: float = 0.5,
+    near_dup_threshold: float = 0.1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end corpus curation verdicts — the composition row that
+    chains the repo's pipeline operators into the keep/drop decision a
+    training-data build actually ships: (doc_id, keep, reason), one
+    row per document, ``reason`` the FIRST failing rule in this pinned
+    priority order (auditable and engine-reproducible):
+
+        exact_dup > near_dup > lang > too_short > too_long >
+        low_quality > repetitive > ok
+
+    Rules: exact_dup = not the min-id of its md5(text) group;
+    near_dup = not the keeper of its transitive n-gram-Jaccard cluster
+    (``dedup.near_dup_clusters`` — pairs via inverted index, closure
+    via the graph engine's star-CC); lang = ``language_id`` prediction
+    not in ``allowed_langs``; length/quality/repetition thresholds
+    compare values whose computation is bit-deterministic in any
+    engine (integer ratios and fixed-order scalar arithmetic), so the
+    verdicts carry no rounding ambiguity.
+
+    Scale: every input is an existing linear-cost operator; the joins
+    are all on ``doc_id`` (one co-partitioned shuffle family); nothing
+    here adds a new quadratic or skew surface.
+    """
+    from .dedup import near_dup_clusters
+    from .textstats import language_id, quality_score, repetition_stats
+
+    d = docs.select(F.col(id_col).alias("doc_id"), "text")
+    ex = d.select("doc_id", F.md5("text").alias("h")).withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    nd = near_dup_clusters(
+        spark, docs, threshold=near_dup_threshold, id_col=id_col
+    ).select(F.col(id_col).alias("doc_id"), F.col("keep").alias("nd_keep"))
+    lang = language_id(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), "lang_pred"
+    )
+    q = quality_score(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), "n_tokens", "quality"
+    )
+    rep = repetition_stats(docs, ns=(2,), id_col=id_col).select(
+        "doc_id", "top2_frac"
+    )
+    j = (
+        ex.join(nd, "doc_id")
+        .join(lang, "doc_id")
+        .join(q, "doc_id")
+        .join(rep, "doc_id")
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
+        .when(~F.col("nd_keep"), F.lit("near_dup"))
+        .when(~F.col("lang_pred").isin(*allowed_langs), F.lit("lang"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .when(F.col("top2_frac") > max_top2_frac, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
+    ).select("doc_id", "keep", "reason")

@@ -4,7 +4,7 @@ line. The BASELINE.md protocol (taskset pinning, fixed work, shared
 partition count, ample heap) is owned by scripts/bench_scaling.py.
 
 Usage: python scripts/algo_bench_worker.py <algo> <cpus> <sf_dir>
-       algo in {pagerank, cc_star, lpa, sssp, hits}
+       algo in {pagerank, cc_star, lpa, sssp, sssp_indexed, hits, salsa}
 """
 
 from __future__ import annotations
@@ -118,6 +118,11 @@ def main():
 
         res = hits(spark, edges, max_iter=max_iter, pre_deduped=True)
         res.vertices.write.format("noop").mode("overwrite").save()
+    elif algo == "salsa":
+        from pregel_spark.graph import salsa
+
+        res = salsa(spark, edges, max_iter=max_iter, pre_deduped=True)
+        res.vertices.write.format("noop").mode("overwrite").save()
     else:
         raise SystemExit(f"unknown algo {algo}")
     wall = time.monotonic() - t0
@@ -148,6 +153,12 @@ def main():
         out["step_shuffle_read_mb"] = [
             round(m.get("shuffle_read_bytes", 0) / 1e6, 1) for m in res.metrics
         ]
+    # steady-state estimator (min-of-steps): steal-resistant, mirrors
+    # pagerank_bench_worker — valid when per-superstep work is constant
+    # (salsa/hits fixed-k loops), NOT for shrinking-frontier loops
+    if algo in ("salsa", "hits") and res.metrics:
+        min_step_ms = min(m["wall_ms"] for m in res.metrics)
+        out["edges_per_sec_steady"] = round(n_edges / (min_step_ms / 1000.0), 1)
     print("BENCHJSON:" + json.dumps(out))
     spark.stop()
 
