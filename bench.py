@@ -69,6 +69,8 @@ HEADLINE = R3_CORE + [
     "unigram_lm",
     "pii_scan",
     "stratified_sample",
+    "mis",
+    "curate",
 ]
 # scc_fixture / bowtie_fixture stay correctness-only: they run on the
 # constant ~60-vertex cyclic fixture, so their wall time is ~100 tiny
