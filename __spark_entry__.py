@@ -669,7 +669,7 @@ def q_spam_mass_k4(spark, sf_dir):
         r["src"]
         for r in edges.select("src").distinct().orderBy("src").limit(2).collect()
     ]
-    return spam_mass(spark, edges, seeds, max_iter=4).select(
+    return spam_mass(spark, edges, seeds, max_iter=4, pre_deduped=True).select(
         "id",
         F.round("pr", 6).alias("pr"),
         F.round("tr", 6).alias("tr"),

@@ -49,6 +49,9 @@ def betweenness(
     omitted (join back against your vertex table for dense output)."""
     if not sources:
         raise ValueError("betweenness needs at least one source")
+    # duplicate sources would double-count their whole dependency
+    # chain through the (s, v) state — dedupe, order-preserving
+    sources = list(dict.fromkeys(sources))
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     with bsp_loop_confs(spark):

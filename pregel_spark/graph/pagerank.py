@@ -380,6 +380,7 @@ def spam_mass(
     trusted: list[str],
     max_iter: int = 4,
     d: float = 0.85,
+    pre_deduped: bool = False,
     **kwargs,
 ) -> DataFrame:
     """TrustRank spam-mass estimation (Gyongyi et al. 2004/2005): run
@@ -397,10 +398,18 @@ def spam_mass(
     uniform floor), so the division is total.
 
     Scale: exactly two PageRank runs (each the audited per-superstep
-    plan) + one final hash join on id. ``**kwargs`` forwards the
-    usual knobs (checkpointing, numeric ids, partitions) to BOTH
-    runs.
+    plan) + one final hash join on id. Parallel arcs collapse once
+    here (standard link-graph semantics, same as ``pagerank``'s
+    default; pass ``pre_deduped=True`` to skip that one-time O(E)
+    shuffle). ``**kwargs`` forwards the remaining knobs
+    (checkpointing, numeric ids, partitions) to BOTH runs;
+    ``sources`` is owned by the trust run and may not be overridden.
     """
+    for k in ("sources", "pre_deduped"):
+        if k in kwargs:
+            raise ValueError(f"spam_mass owns the '{k}' knob; see docstring")
+    if not pre_deduped:
+        edges = edges.select("src", "dst").distinct()
     p = pagerank(
         spark, edges, d=d, tol=0.0, max_iter=max_iter, pre_deduped=True, **kwargs
     ).vertices.select("id", F.col("rank").alias("pr"))

@@ -73,13 +73,17 @@ def duckdb_stratified_sample_pred(
     """DuckDB twin of :func:`stratified_sample_pred` (oracle surface)."""
     from .hashing import duckdb_seeded_hash60
 
-    case = " ".join(
-        f"WHEN {strata_col} = '{s}' THEN {_ppm(rates[s])}" for s in sorted(rates)
-    )
-    return (
-        f"(({duckdb_seeded_hash60(seed, id_col)}) % {_PPM}) < "
-        f"(CASE {case} ELSE {_ppm(default_rate)} END)"
-    )
+    if rates:
+        case = " ".join(
+            "WHEN {c} = '{s}' THEN {p}".format(
+                c=strata_col, s=s.replace("'", "''"), p=_ppm(rates[s])
+            )
+            for s in sorted(rates)
+        )
+        rate_expr = f"(CASE {case} ELSE {_ppm(default_rate)} END)"
+    else:  # a searched CASE needs >= 1 WHEN branch
+        rate_expr = str(_ppm(default_rate))
+    return f"(({duckdb_seeded_hash60(seed, id_col)}) % {_PPM}) < {rate_expr}"
 
 
 def curate_corpus(
@@ -118,6 +122,14 @@ def curate_corpus(
     from .dedup import near_dup_clusters
     from .textstats import language_id, quality_score, repetition_stats
 
+    # NULL text = empty document (all NULL-text docs are exact
+    # duplicates of each other under md5('')); without this, NULL rows
+    # would fall out of the inner-join chain and get NO verdict at all
+    docs = docs.select(
+        F.col(id_col).alias(id_col),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        *[c for c in docs.columns if c not in (id_col, "text")],
+    )
     d = docs.select(F.col(id_col).alias("doc_id"), "text")
     ex = d.select("doc_id", F.md5("text").alias("h")).withColumn(
         "keep_id", F.min("doc_id").over(Window.partitionBy("h"))

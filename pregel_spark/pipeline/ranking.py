@@ -55,6 +55,20 @@ def doc_lengths(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _bm25_score(k1: float, b: float):
+    """The one shared BM25 scoring expression (exact op order — both
+    bm25_scores and bm25_topk must produce bit-identical doubles)."""
+    tf = F.col("tf").cast("double")
+    dfd = F.col("df").cast("double")
+    dl = F.col("dl").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    )
+    return idf * (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.col("avgdl"))
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     k1: float = 1.2,
@@ -93,17 +107,8 @@ def bm25_scores(
         scored = scored.filter(
             F.col("df").cast("double") <= F.lit(float(max_df_ratio)) * F.col("n_docs")
         )
-    tf = F.col("tf").cast("double")
-    dfd = F.col("df").cast("double")
-    dl = F.col("dl").cast("double")
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
-    )
-    score = idf * (tf * F.lit(k1 + 1.0)) / (
-        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.col("avgdl"))
-    )
     return scored.select(
-        "term", "doc_id", "tf", "df", "dl", score.alias("score")
+        "term", "doc_id", "tf", "df", "dl", _bm25_score(k1, b).alias("score")
     )
 
 
@@ -140,18 +145,42 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents per query term by BM25, deterministic:
     (term, doc_id, score, rnk) ranked by (score DESC, doc_id ASC).
-    ``terms`` is a 1-column DataFrame or a literal list; it is
-    broadcast — the query set is always tiny next to the postings.
-    The per-term top-k window partitions by term, so the sort is
+    ``terms`` is a 1-column DataFrame or a literal list (possibly
+    empty); it is broadcast — the query set is always tiny next to
+    the postings. The broadcast filter lands on the postings BEFORE
+    the df/length/scoring joins, so a 3-term query over a web-scale
+    corpus scores 3 posting lists, not the vocabulary — while df, N
+    and avgdl stay CORPUS-global (identical scores to
+    :func:`bm25_scores`, which shares the scoring expression). The
+    per-term top-k window partitions by term, so the sort is
     per-posting-list, never global."""
     spark = docs.sparkSession
     if isinstance(terms, list):
-        terms = spark.createDataFrame([(t,) for t in terms], ["term"])
-    scored = bm25_scores(docs, k1=k1, b=b, max_df_ratio=None, id_col=id_col)
+        terms = spark.createDataFrame([(t,) for t in terms], "term string")
+    qterms = F.broadcast(terms.select("term").distinct())
+    idx = term_index(docs, id_col).join(qterms, "term")
+    lens = doc_lengths(docs, id_col)
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    # df must stay corpus-global: recount from the full postings, then
+    # prune to the query terms (vocabulary-sized until the semi-join)
+    df_tab = (
+        term_index(docs, id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(qterms, "term")
+    )
+    scored = (
+        idx.join(df_tab, "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", _bm25_score(k1, b).alias("score"))
+    )
     w = Window.partitionBy("term").orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
-        scored.join(F.broadcast(terms.select("term")), "term")
-        .withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("term", "doc_id", "score", "rnk")
     )

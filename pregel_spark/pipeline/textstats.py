@@ -260,11 +260,16 @@ def repetition_stats(
     + one (doc, gram) partial-agg shuffle + one per-doc agg — the same
     map-side-combine shape as ``term_index``, linear in corpus tokens.
     """
-    toks = _tokens()
+    # NULL text is treated as the empty document — without the
+    # coalesce, split(NULL) yields a NULL array, explode drops the
+    # row, and the doc would silently vanish from the output
+    txt = F.coalesce(F.col("text"), F.lit(""))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        toks.alias("w"),
-        F.split(F.col("text"), "\n").alias("lines"),
+        F.when(F.length(F.trim(txt)) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(F.trim(txt), r"\s+"))
+        .alias("w"),
+        F.split(txt, "\n").alias("lines"),
     )
     lines = base.select("doc_id", F.explode("lines").alias("ln"))
     lc = lines.groupBy("doc_id", "ln").agg(F.count(F.lit(1)).alias("c"))

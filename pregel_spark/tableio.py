@@ -40,14 +40,19 @@ def write_table(
     """Write df as a table; returns the manifest dict.
 
     ``fmt='parquet'`` (default): parquet + ``_manifest.json``.
-    ``fmt='iceberg'``: a path-based (hadoop-catalog) Iceberg table via
+    ``fmt='iceberg'``: a path-based (HadoopTables) Iceberg table via
     the DataSource API — requires the ``iceberg-spark-runtime`` jar
     (``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13``
-    on a real deployment); no side manifest is written because
-    Iceberg's own snapshot metadata subsumes it (the returned dict is
-    still produced for the caller). Exercised by
-    ``tests/test_iceberg.py``, which skips where the jar is absent
-    (this container)."""
+    on a real deployment). CAVEAT: the v1 ``save(path)`` route writes
+    into an EXISTING Iceberg table; creating a brand-new table needs
+    either a catalog-configured session (``df.writeTo(tbl).create()``)
+    or a one-time ``HadoopTables.create`` — both live behind the same
+    jar, so this seam stays a thin adapter rather than reimplementing
+    table creation. No side manifest is written because Iceberg's own
+    snapshot metadata subsumes it (the returned dict is still produced
+    for the caller). Exercised by ``tests/test_iceberg.py``, which
+    skips ONLY when the data source itself is absent (this
+    container) — any other Iceberg error fails loudly."""
     w = df.write.mode(mode)
     if partition_cols:
         w = w.partitionBy(*partition_cols)
@@ -70,6 +75,10 @@ def write_table(
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path)
+    if fmt != "parquet":  # same validation as write_table — a typo'd
+        # fmt must not silently read parquet files out of an Iceberg
+        # tree behind the snapshot metadata's back
+        raise ValueError(f"fmt must be 'parquet' or 'iceberg': {fmt}")
     return spark.read.parquet(path)
 
 

@@ -114,3 +114,11 @@ def test_betweenness_requires_sources(spark):
     df = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with pytest.raises(ValueError):
         betweenness(spark, df, [])
+
+
+def test_duplicate_sources_not_double_counted(spark):
+    got = _run(spark, DIAMOND, ["s", "s", "s"], max_depth=10)
+    want = _py_brandes(DIAMOND, ["s"], 10)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12), v

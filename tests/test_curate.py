@@ -56,3 +56,20 @@ def test_keep_iff_reason_ok(spark):
     got = _run(spark)
     for _i, (keep, reason) in got.items():
         assert keep == (reason == "ok")
+
+
+def test_null_text_gets_verdict(spark):
+    # regression: NULL text must not vanish from the verdict table —
+    # it is treated as the empty document (zero tokens -> lang 'und',
+    # which outranks too_short in the pinned order); two NULL docs are
+    # exact duplicates of each other
+    rows = [(1, GOOD), (2, None), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.keep, r.reason)
+        for r in curate_corpus(spark, df, allowed_langs=("en",)).collect()
+    }
+    assert len(got) == 3
+    assert got[1] == (True, "ok")
+    assert got[2] == (False, "lang")
+    assert got[3] == (False, "exact_dup")  # md5('') dup of doc 2

@@ -363,3 +363,24 @@ def test_salsa_matches_dense_walk(spark):
     assert np.isclose(sum(x[0] for x in got.values()), 1.0, atol=1e-9)
     assert np.isclose(sum(x[1] for x in got.values()), 1.0, atol=1e-9)
     assert res.supersteps == 4
+
+
+def test_spam_mass_collapses_duplicate_arcs(spark):
+    """spam_mass on a duplicated edge list must equal spam_mass on the
+    distinct list (pagerank's documented multi-edge semantics); the
+    owned knobs are rejected."""
+    from pregel_spark.graph import spam_mass
+
+    pairs = TOY7
+    dup = edges_df(spark, pairs + pairs)  # every arc twice
+    ded = edges_df(spark, pairs)
+    a = {r.id: r.spam_mass for r in spam_mass(spark, dup, ["a"], max_iter=3).collect()}
+    b = {r.id: r.spam_mass for r in spam_mass(
+        spark, ded.select("src", "dst").distinct(), ["a"], max_iter=3,
+        pre_deduped=True).collect()}
+    assert a.keys() == b.keys()
+    for v in a:
+        assert np.isclose(a[v], b[v], atol=1e-12), v
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        spam_mass(spark, ded, ["a"], sources=["b"])

@@ -20,9 +20,17 @@ def test_iceberg_roundtrip_if_runtime_present(spark, tmp_path):
     path = str(tmp_path / "ice_t")
     try:
         write_table(df, path, fmt="iceberg")
-    except Exception as e:  # runtime jar not deployed
+    except Exception as e:
+        # skip ONLY for the missing data source; any other Iceberg
+        # error (e.g. v1 save() cannot create a new table — see
+        # write_table docstring) must fail loudly so a deployer with
+        # the jar sees the real problem instead of a silent skip
         msg = str(e)
-        assert "iceberg" in msg.lower()
+        missing = "DATA_SOURCE_NOT_FOUND" in msg or (
+            "Failed to find" in msg and "data source: iceberg" in msg
+        )
+        if not missing:
+            raise
         pytest.skip("iceberg-spark-runtime not in this container")
     back = read_table(spark, path, fmt="iceberg")
     assert sorted((r["id"], r["rank"], r["step"]) for r in back.collect()) == [

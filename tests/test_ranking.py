@@ -124,3 +124,7 @@ def test_bm25_topk_deterministic_ranking(spark):
         for pos, (doc, score) in enumerate(ranked, start=1):
             gdoc, gscore = got[(term, pos)]
             assert gdoc == doc and gscore == pytest.approx(score, rel=1e-12)
+
+
+def test_bm25_topk_empty_terms(spark):
+    assert bm25_topk(_docs(spark), [], k=3).collect() == []

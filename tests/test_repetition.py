@@ -118,3 +118,12 @@ def test_pii_counts(spark):
     assert got[2] == (0, 2, 1)
     assert got[3] == (0, 0, 0)
     assert got[4] == (1, 0, 1)
+
+
+def test_repetition_null_text_is_empty_doc(spark):
+    from pregel_spark.pipeline import repetition_stats
+
+    df = spark.createDataFrame([(1, None), (2, "a b a b")], "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_tokens == 0 and got[1].top2_frac == 0.0
