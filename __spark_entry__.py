@@ -190,6 +190,22 @@ FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE a.c_custkey <= 6 AND b.c_custkey <= 6
 """
 
+# recrawl fixture: the NEW snapshot of the part->supplier link graph —
+# every 7th part's links vanish (pages dropped from the crawl), every
+# 11th part gains a link to a low-numbered supplier (fresh outlinks);
+# both engines derive old (EDGES_SQL) and new from shared text
+NEW_EDGES_SQL = """
+SELECT DISTINCT 'p' || CAST(l_partkey AS STRING) AS src,
+                's' || CAST(l_suppkey AS STRING) AS dst,
+                CAST(1.0 AS DOUBLE) AS weight
+FROM lineitem WHERE l_partkey % 7 <> 0
+UNION
+SELECT DISTINCT 'p' || CAST(l_partkey AS STRING) AS src,
+                's' || CAST(l_suppkey % 10 AS STRING) AS dst,
+                CAST(1.0 AS DOUBLE) AS weight
+FROM lineitem WHERE l_partkey % 11 = 0
+"""
+
 # PII fixture: synthesized contact strings (email / intl phone /
 # dotted-quad IP per customer, second email on every third) — the
 # testdata corpus itself contains no PII, so both engines derive this
@@ -613,6 +629,29 @@ def q_adamic_adar(spark, sf_dir):
     ).select("u", "w", "n_common", F.round("aa_score", 6).alias("aa_score"))
 
 
+def q_crawl_delta(spark, sf_dir):
+    from pregel_spark.graph import crawl_delta
+
+    _register_views(spark, sf_dir)
+    return crawl_delta(spark.sql(EDGES_SQL), spark.sql(NEW_EDGES_SQL))
+
+
+def q_rank_shift_k3(spark, sf_dir):
+    from pregel_spark.graph import rank_shift
+
+    _register_views(spark, sf_dir)
+    r = rank_shift(
+        spark, spark.sql(EDGES_SQL), spark.sql(NEW_EDGES_SQL),
+        max_iter=3, pre_deduped=True,
+    )
+    return r.select(
+        "id",
+        F.round("rank_old", 6).alias("rank_old"),
+        F.round("rank_new", 6).alias("rank_new"),
+        F.round("shift", 6).alias("shift"),
+    )
+
+
 def q_mis(spark, sf_dir):
     """Deterministic Luby MIS on the circulant customer graph —
     portable-hash priorities make the selected set engine-exact."""
@@ -971,11 +1010,13 @@ def q_canonical_urls(spark, sf_dir):
 # ----------------- programmatic DuckDB oracle builders ----------------
 
 
-def _pagerank_unrolled_sql(k: int, edges_sql: str) -> str:
+def _pagerank_unrolled_sql(k: int, edges_sql: str, round_final: bool = True) -> str:
     """k supersteps of the exact PageRank recurrence (damping 0.85,
     uniform dangling redistribution) as an unrolled CTE chain — DuckDB
     has no loop construct, so each superstep is one (dangling-mass,
-    scatter-sum, update) CTE triple."""
+    scatter-sum, update) CTE triple. ``round_final=False`` emits
+    unrounded ranks for composition (rank_shift joins two chains and
+    rounds AFTER the subtraction, like the Spark side)."""
     steps = []
     for i in range(k):
         steps.append(f"""
@@ -995,7 +1036,7 @@ v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
 od AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src),
 r0 AS (SELECT id, 1.0 / nn AS rank FROM v CROSS JOIN n),{",".join(steps)}
-SELECT id, round(rank, 6) AS rank FROM r{k}
+SELECT id, {"round(rank, 6)" if round_final else "rank"} AS rank FROM r{k}
 """
 def _ppr_unrolled_sql(k: int, edges_sql: str) -> str:
     """k supersteps of personalized PageRank: the (1-d) restart mass
@@ -1616,6 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "host_pagerank_k3": q_host_pagerank_k3,
         "kcore3_r4": q_kcore3_r4,
+        "crawl_delta": q_crawl_delta,
+        "rank_shift_k3": q_rank_shift_k3,
         "mis": q_mis,
         "betweenness_l4": q_betweenness_l4,
         "truss5_r2": q_truss5_r2,
@@ -1692,6 +1735,24 @@ FROM ids LEFT JOIN out_d ON ids.id = out_d.id LEFT JOIN in_d ON ids.id = in_d.id
         "pagerank_k8": _pagerank_unrolled_sql(8, EDGES_SQL),
         "ppr_k4": _ppr_unrolled_sql(4, EDGES_SQL),
         "spam_mass_k4": _spam_mass_unrolled_sql(4, EDGES_SQL),
+        "crawl_delta": f"""
+WITH o AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL}) x),
+n AS (SELECT DISTINCT src, dst FROM ({NEW_EDGES_SQL}) y)
+SELECT COALESCE(o.src, n.src) AS src, COALESCE(o.dst, n.dst) AS dst,
+       CASE WHEN o.src IS NULL THEN 'added'
+            WHEN n.src IS NULL THEN 'removed'
+            ELSE 'kept' END AS status
+FROM o FULL JOIN n ON o.src = n.src AND o.dst = n.dst
+""",
+        "rank_shift_k3": f"""
+SELECT COALESCE(a.id, b.id) AS id,
+       round(a.rank, 6) AS rank_old,
+       round(b.rank, 6) AS rank_new,
+       round(b.rank - a.rank, 6) AS shift
+FROM ({_pagerank_unrolled_sql(3, EDGES_SQL, round_final=False)}) a
+FULL JOIN ({_pagerank_unrolled_sql(3, NEW_EDGES_SQL, round_final=False)}) b
+  ON a.id = b.id
+""",
         "mis": _mis_unrolled_sql(6, TRI_EDGES_SQL),
         "betweenness_l4": _betweenness_unrolled_sql(4, TRI_EDGES_SQL),
         "truss5_r2": _truss_unrolled_sql(5, 2, TRUSS_EDGES_SQL),

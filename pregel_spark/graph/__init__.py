@@ -29,6 +29,7 @@ from .neighborhood import (
 from .scc import bowtie, strongly_connected_components
 from .mirrors import exact_mirror_groups, mirror_pairs, outlink_docs
 from .betweenness import betweenness
+from .crawl import crawl_delta, rank_shift
 from .mis import maximal_independent_set
 from .redirects import resolve_redirects
 from .structure import (
@@ -95,4 +96,6 @@ __all__ = [
     "resolve_redirects",
     "betweenness",
     "maximal_independent_set",
+    "crawl_delta",
+    "rank_shift",
 ]

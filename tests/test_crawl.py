@@ -1,0 +1,65 @@
+"""Recrawl delta + rank shift vs dict/NumPy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pregel_spark.graph import crawl_delta, rank_shift
+
+OLD = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("x", "y")]
+NEW = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "a")]
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_crawl_delta_statuses(spark):
+    got = {
+        (r.src, r.dst): r.status
+        for r in crawl_delta(_df(spark, OLD), _df(spark, NEW)).collect()
+    }
+    assert got == {
+        ("a", "b"): "kept", ("b", "c"): "kept", ("c", "a"): "kept",
+        ("a", "c"): "removed", ("x", "y"): "removed",
+        ("a", "d"): "added", ("d", "a"): "added",
+    }
+
+
+def test_crawl_delta_dedups_arcs(spark):
+    got = crawl_delta(_df(spark, OLD + OLD), _df(spark, NEW + NEW)).count()
+    assert got == 7  # one row per distinct arc
+
+
+def test_rank_shift_outer_semantics(spark):
+    rows = {r.id: r for r in rank_shift(spark, _df(spark, OLD), _df(spark, NEW), max_iter=4).collect()}
+    # vertices only in old: rank_new/shift NULL; only in new: rank_old/shift NULL
+    assert rows["x"].rank_new is None and rows["x"].shift is None
+    assert rows["d"].rank_old is None and rows["d"].shift is None
+    # common vertices: shift == rank_new - rank_old, exact vs two dense runs
+    def power(pairs, k):
+        ids = sorted({v for e in pairs for v in e})
+        idx = {v: i for i, v in enumerate(ids)}
+        from collections import defaultdict
+        out = defaultdict(set)
+        for s, t in set(pairs):
+            out[s].add(t)
+        n, dmp = len(ids), 0.85
+        r = np.full(n, 1.0 / n)
+        for _ in range(k):
+            nxt = np.zeros(n)
+            dm = 0.0
+            for v in ids:
+                if out[v]:
+                    for t in out[v]:
+                        nxt[idx[t]] += r[idx[v]] / len(out[v])
+                else:
+                    dm += r[idx[v]]
+            r = (1 - dmp) / n + dmp * (nxt + dm / n)
+        return {v: r[idx[v]] for v in ids}
+    po, pn = power(OLD, 4), power(NEW, 4)
+    for v in ("a", "b", "c"):
+        assert np.isclose(rows[v].rank_old, po[v], atol=1e-12)
+        assert np.isclose(rows[v].rank_new, pn[v], atol=1e-12)
+        assert np.isclose(rows[v].shift, pn[v] - po[v], atol=1e-12)
