@@ -911,6 +911,40 @@ def q_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style line dedup over 10-token pseudo-lines (the synthetic
+    corpus has no newlines, so both engines chunk the whitespace token
+    stream into identical spans first)."""
+    from pregel_spark.pipeline import chunk_lines, line_dedup
+
+    docs = _docs(spark, sf_dir)
+    return line_dedup(chunk_lines(docs, n_tokens=10), docs, sep=" ")
+
+
+def q_pack_sequences(spark, sf_dir):
+    from pregel_spark.pipeline import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Recrawl-batch dedup: docs with id % 5 == 0 are the 'new crawl',
+    the rest the already-ingested base corpus."""
+    from pregel_spark.pipeline import incremental_exact
+
+    docs = _docs(spark, sf_dir)
+    return incremental_exact(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+    )
+
+
+def q_top_ngrams(spark, sf_dir):
+    from pregel_spark.pipeline import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+
+
 def q_quality_score(spark, sf_dir):
     from pregel_spark.pipeline import quality_score
 
@@ -1684,6 +1718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "bm25": q_bm25,
         "tfidf": q_tfidf,
+        "line_dedup": q_line_dedup,
+        "pack_sequences": q_pack_sequences,
+        "dedup_incremental": q_dedup_incremental,
+        "top_ngrams": q_top_ngrams,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
@@ -2239,6 +2277,75 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         "fingerprint": r"""
 SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
 FROM documents
+""",
+        "line_dedup": r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS w
+    FROM documents),
+ch AS (
+    SELECT doc_id,
+           unnest(range(1, CAST(ceil(len(w) / 10.0) AS INT) + 1)) AS pos,
+           unnest([array_to_string(w[(i-1)*10+1:i*10], ' ')
+                   for i in range(1, CAST(ceil(len(w) / 10.0) AS INT) + 1)]) AS line
+    FROM t WHERE len(w) > 0),
+rk AS (
+    SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM ch),
+reb AS (
+    SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text,
+           count(*) AS k
+    FROM rk WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(reb.text, '') AS text,
+       CAST(COALESCE(reb.k, 0) AS BIGINT) AS n_lines_kept,
+       CAST(COALESCE(tot.n, 0) - COALESCE(reb.k, 0) AS BIGINT) AS n_lines_dropped
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+""",
+        "pack_sequences": r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS w
+    FROM documents),
+s AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens FROM t),
+c AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+    FROM s)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS shard_id
+FROM c
+""",
+        "dedup_incremental": """
+WITH base AS (
+    SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+fresh AS (
+    SELECT md5(text) AS h, min(doc_id) AS doc_id
+    FROM documents WHERE doc_id % 5 = 0 GROUP BY md5(text))
+SELECT f.doc_id, f.h
+FROM fresh f LEFT JOIN base b ON f.h = b.h
+WHERE b.h IS NULL
+""",
+        "top_ngrams": r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS w
+    FROM documents),
+g AS (
+    SELECT doc_id,
+           unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS ngram
+    FROM t WHERE len(w) >= 2)
+SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM g GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram LIMIT 20
 """,
         "token_stats": r"""
 WITH t AS (

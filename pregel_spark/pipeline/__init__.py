@@ -14,6 +14,7 @@ from .textstats import (
     quality_score,
     repetition_stats,
     token_stats,
+    top_ngrams,
     unigram_logprob,
     winnow_fingerprints,
     winnow_near_dup_pairs,
@@ -21,6 +22,7 @@ from .textstats import (
 from .dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
+    incremental_exact,
     minhash_lsh_pairs,
     near_dup_clusters,
     ngram_jaccard_pairs,
@@ -48,6 +50,7 @@ from .simsearch import (
     ivf_topk_indexed,
     write_ivf_index,
 )
+from .lines import chunk_lines, line_dedup, pack_sequences, split_lines
 from .multimodal import (
     decode_media_batch,
     media_feature_rows,
@@ -56,6 +59,12 @@ from .multimodal import (
 )
 
 __all__ = [
+    "chunk_lines",
+    "incremental_exact",
+    "line_dedup",
+    "pack_sequences",
+    "split_lines",
+    "top_ngrams",
     "embedding_near_dup_pairs",
     "fingerprint",
     "language_id",

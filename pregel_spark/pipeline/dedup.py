@@ -57,6 +57,40 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def incremental_exact(
+    new_docs: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_is_fingerprints: bool = False,
+) -> DataFrame:
+    """Dedup a NEW crawl batch against an existing corpus: the recrawl
+    pattern where the base corpus is already ingested and only the
+    delta must be screened (the reference replays the full loader for
+    this, `pregel/loader.lua` flush cycle; here it is one anti-join).
+
+    Returns the surviving new docs as ``(id, h)``: not an exact-text
+    match of any base doc, and the min-id representative within the
+    new batch itself (intra-batch exact dups collapse too).
+
+    ``base_is_fingerprints=True`` accepts a precomputed ``(h)`` table —
+    at 100 TB you store md5 fingerprints once at ingest (32 bytes/doc,
+    ~3 TB for 10^11 docs) instead of re-hashing the corpus per batch;
+    the anti-join then shuffles fingerprints only, never base text.
+    """
+    h = F.md5(F.col(text_col))
+    base_h = (
+        base.select("h") if base_is_fingerprints
+        else base.select(h.alias("h"))
+    ).distinct()
+    fresh = (
+        new_docs.select(h.alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return fresh.join(base_h, "h", "left_anti").select(id_col, "h")
+
+
 # -------------------------- n-gram Jaccard ---------------------------
 
 def ngram_jaccard_pairs(

@@ -232,6 +232,34 @@ def _gram_instances(w: Column, n: int) -> Column:
     return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(grams)
 
 
+def top_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 20, id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by total occurrence count (with
+    multiplicity): ``(ngram, n_occurrences, n_docs)``.
+
+    The LM-data diagnostic for boilerplate discovery — the head of this
+    distribution IS the candidate line-dedup/blocklist input.
+
+    Deterministic: ties break by ngram ascending, so the k-th boundary
+    is stable. Scale: explode + one groupBy (partial agg collapses the
+    hot grams map-side); the top-k is a ``TakeOrderedAndProject`` —
+    each partition keeps k rows, only k*n_part rows reach the driver
+    stage, never a full sort.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(_gram_instances(_tokens(), n)).alias("ngram"),
+    )
+    counted = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    return counted.orderBy(
+        F.desc("n_occurrences"), F.asc("ngram")
+    ).limit(k)
+
+
 def repetition_stats(
     docs: DataFrame, ns: tuple[int, ...] = (2, 3), id_col: str = "doc_id"
 ) -> DataFrame:
