@@ -537,6 +537,15 @@ def q_bowtie_fixture(spark, sf_dir):
     return res.vertices.select("id", "region")
 
 
+def q_scc_condense(spark, sf_dir):
+    """Condensation DAG of the bowtie fixture: SCCs contracted to
+    min-member supervertices, distinct cross-component edges kept."""
+    from pregel_spark.graph import condense
+
+    _register_views(spark, sf_dir)
+    return condense(spark, spark.sql(BOWTIE_EDGES_SQL))
+
+
 def q_sssp_k8(spark, sf_dir):
     from pregel_spark.graph import shortest_paths
 
@@ -1687,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neigh_k3": q_neigh_k3,
         "harmonic_k3": q_harmonic_k3,
         "scc_fixture": q_scc_fixture,
+        "scc_condense": q_scc_condense,
         "bowtie_fixture": q_bowtie_fixture,
         "host_graph": q_host_graph,
         "host_pagerank_k3": q_host_pagerank_k3,
@@ -2159,6 +2169,12 @@ FROM md GROUP BY b
         "scc_fixture": f"""
 WITH RECURSIVE {_SCC_CLOSURE_CTES}
 SELECT id, scc FROM sccs
+""",
+        "scc_condense": f"""
+WITH RECURSIVE {_SCC_CLOSURE_CTES}
+SELECT DISTINCT sa.scc AS src, sb.scc AS dst
+FROM e JOIN sccs sa ON sa.id = e.src JOIN sccs sb ON sb.id = e.dst
+WHERE sa.scc <> sb.scc
 """,
         "bowtie_fixture": f"""
 WITH RECURSIVE {_SCC_CLOSURE_CTES},

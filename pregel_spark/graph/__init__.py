@@ -26,7 +26,7 @@ from .neighborhood import (
     harmonic_centrality,
     neighborhood_function,
 )
-from .scc import bowtie, strongly_connected_components
+from .scc import bowtie, condense, strongly_connected_components
 from .mirrors import exact_mirror_groups, mirror_pairs, outlink_docs
 from .betweenness import betweenness
 from .crawl import crawl_delta, rank_shift
@@ -80,6 +80,7 @@ __all__ = [
     "k_core",
     "random_walks",
     "strongly_connected_components",
+    "condense",
     "bowtie",
     "neighborhood_function",
     "effective_diameter",

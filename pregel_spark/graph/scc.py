@@ -325,6 +325,52 @@ def strongly_connected_components(
     )
 
 
+def condense(
+    spark: SparkSession,
+    edges: DataFrame,
+    labels: DataFrame | None = None,
+    **scc_kwargs,
+) -> DataFrame:
+    """Condensation DAG: contract every SCC to one supervertex (its
+    lexicographic-min member id) and keep the distinct cross-component
+    edges — acyclic by construction. The web-graph view where cyclic
+    cores (mutual-link cliques, session loops) collapse so downstream
+    DAG-only passes (topological rollups, crawl-frontier scheduling)
+    apply.
+
+    ``labels``: reuse a precomputed ``(id, scc)`` assignment; when
+    None, SCC runs here first (and refuses a truncated run — an
+    unconverged assignment would split components and fabricate edges).
+
+    Returns ``(src, dst)`` over scc ids.
+
+    Scale: two hash joins of E against the label table — each shuffles
+    on the edge endpoint being mapped, the same key the SCC loop
+    already partitioned by — then one distinct over the contracted
+    (much smaller) edge set.
+    """
+    if labels is None:
+        res = strongly_connected_components(spark, edges, **scc_kwargs)
+        if not res.converged:
+            raise RuntimeError(
+                "SCC did not converge; raise max_rounds/max_iter before condensing"
+            )
+        labels = res.vertices
+    lab = labels.select("id", "scc")
+    return (
+        edges.select("src", "dst")
+        .join(
+            lab.select(F.col("id").alias("src"), F.col("scc").alias("_s")), "src"
+        )
+        .join(
+            lab.select(F.col("id").alias("dst"), F.col("scc").alias("_d")), "dst"
+        )
+        .select(F.col("_s").alias("src"), F.col("_d").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 _REGIONS = ("CORE", "IN", "OUT", "TUBES", "TENDRILS", "DISC")
 
 

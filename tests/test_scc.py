@@ -249,3 +249,31 @@ def test_bowtie_truncation_flagged(spark):
     assert res.converged is False
     res2 = bowtie(spark, edges_df(spark, pairs))
     assert res2.converged is True
+
+
+def test_condense_bowtie_matches_python_oracle(spark):
+    from pregel_spark.graph import condense
+
+    pairs = [(_g(a), _g(b)) for a, b in BOWTIE_PAIRS]
+    got = {
+        (r.src, r.dst)
+        for r in condense(spark, edges_df(spark, pairs)).collect()
+    }
+    lab = tarjan_scc(pairs)
+    want = {
+        (lab[a], lab[b]) for a, b in pairs if lab[a] != lab[b]
+    }
+    assert got == want
+    # acyclicity: a condensation can never contain a 2-cycle
+    assert not any((b, a) in got for a, b in got)
+
+
+def test_condense_accepts_precomputed_labels(spark):
+    from pregel_spark.graph import condense, strongly_connected_components
+
+    pairs = [(_g(a), _g(b)) for a, b in BOWTIE_PAIRS]
+    e = edges_df(spark, pairs)
+    res = strongly_connected_components(spark, e)
+    a = {tuple(r) for r in condense(spark, e, labels=res.vertices).collect()}
+    b = {tuple(r) for r in condense(spark, e).collect()}
+    assert a == b
