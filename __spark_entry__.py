@@ -546,6 +546,18 @@ def q_scc_condense(spark, sf_dir):
     return condense(spark, spark.sql(BOWTIE_EDGES_SQL))
 
 
+def q_topo_levels(spark, sf_dir):
+    """Kahn layering of the bowtie condensation (level = longest path
+    from a source = the round Kahn's peeling removes the vertex)."""
+    from pregel_spark.graph import condense, topo_levels
+
+    _register_views(spark, sf_dir)
+    dag = condense(spark, spark.sql(BOWTIE_EDGES_SQL))
+    res = topo_levels(spark, dag, pre_deduped=True)
+    assert res.converged
+    return res.vertices
+
+
 def q_sssp_k8(spark, sf_dir):
     from pregel_spark.graph import shortest_paths
 
@@ -1697,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_k3": q_harmonic_k3,
         "scc_fixture": q_scc_fixture,
         "scc_condense": q_scc_condense,
+        "topo_levels": q_topo_levels,
         "bowtie_fixture": q_bowtie_fixture,
         "host_graph": q_host_graph,
         "host_pagerank_k3": q_host_pagerank_k3,
@@ -2175,6 +2188,18 @@ WITH RECURSIVE {_SCC_CLOSURE_CTES}
 SELECT DISTINCT sa.scc AS src, sb.scc AS dst
 FROM e JOIN sccs sa ON sa.id = e.src JOIN sccs sb ON sb.id = e.dst
 WHERE sa.scc <> sb.scc
+""",
+        "topo_levels": f"""
+WITH RECURSIVE {_SCC_CLOSURE_CTES},
+ce AS (SELECT DISTINCT sa.scc AS src, sb.scc AS dst
+       FROM e JOIN sccs sa ON sa.id = e.src JOIN sccs sb ON sb.id = e.dst
+       WHERE sa.scc <> sb.scc),
+cv AS (SELECT src AS id FROM ce UNION SELECT dst FROM ce),
+lp(id, d) AS (
+    SELECT id, 0 FROM cv WHERE id NOT IN (SELECT dst FROM ce)
+    UNION ALL
+    SELECT ce.dst, lp.d + 1 FROM lp JOIN ce ON ce.src = lp.id)
+SELECT id, CAST(max(d) AS INT) AS level FROM lp GROUP BY id
 """,
         "bowtie_fixture": f"""
 WITH RECURSIVE {_SCC_CLOSURE_CTES},

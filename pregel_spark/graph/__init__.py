@@ -26,6 +26,7 @@ from .neighborhood import (
     harmonic_centrality,
     neighborhood_function,
 )
+from .dag import topo_levels
 from .scc import bowtie, condense, strongly_connected_components
 from .mirrors import exact_mirror_groups, mirror_pairs, outlink_docs
 from .betweenness import betweenness
@@ -81,6 +82,7 @@ __all__ = [
     "random_walks",
     "strongly_connected_components",
     "condense",
+    "topo_levels",
     "bowtie",
     "neighborhood_function",
     "effective_diameter",

@@ -238,6 +238,9 @@ class PregelResult:
     #: per-(superstep, partition) rows — I5 parity with the reference's
     #: per-worker superstep log (pregel/master.lua:60-63)
     partition_metrics: list[dict] = field(default_factory=list)
+    #: final driver-scalar aggregates an algorithm chooses to surface
+    #: (A3 analog; e.g. topo_levels reports n_unleveled)
+    aggregates: dict = field(default_factory=dict)
 
 
 ComputeFn = Callable[[pd.DataFrame, ComputeContext], pd.DataFrame]

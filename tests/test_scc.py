@@ -277,3 +277,64 @@ def test_condense_accepts_precomputed_labels(spark):
     a = {tuple(r) for r in condense(spark, e, labels=res.vertices).collect()}
     b = {tuple(r) for r in condense(spark, e).collect()}
     assert a == b
+
+
+def _kahn_levels(pairs):
+    """{v: longest path from a source}; None-keyed set of unleveled."""
+    verts = {v for p in pairs for v in p}
+    preds = {}
+    for a, b in pairs:
+        preds.setdefault(b, set()).add(a)
+    levels, changed = {}, True
+    rounds = 0
+    rem = set(verts)
+    while rem and rounds <= len(verts):
+        zero = {v for v in rem if not (preds.get(v, set()) & rem)}
+        if not zero:
+            break
+        for v in zero:
+            levels[v] = rounds
+        rem -= zero
+        rounds += 1
+    return levels, rem
+
+
+def test_topo_levels_diamond_and_chain(spark):
+    from pregel_spark.graph import topo_levels
+
+    pairs = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+             ("d", "e"), ("x", "c")]
+    res = topo_levels(spark, edges_df(spark, pairs))
+    got = {r.id: r.level for r in res.vertices.collect()}
+    want, rem = _kahn_levels(pairs)
+    assert res.converged and not rem
+    assert got == want
+    assert got == {"a": 0, "x": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
+def test_topo_levels_cycle_is_flagged_not_mislabeled(spark):
+    from pregel_spark.graph import topo_levels
+
+    # a -> b -> (c <-> d) -> e : the cycle and its downstream must be
+    # ABSENT, never given a fabricated level
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "c"), ("d", "e")]
+    res = topo_levels(spark, edges_df(spark, pairs))
+    got = {r.id: r.level for r in res.vertices.collect()}
+    assert not res.converged
+    assert res.aggregates["n_unleveled"] == 3
+    assert got == {"a": 0, "b": 1}
+
+
+def test_topo_levels_of_bowtie_condensation(spark):
+    from pregel_spark.graph import condense, topo_levels
+
+    pairs = [(_g(a), _g(b)) for a, b in BOWTIE_PAIRS]
+    e = edges_df(spark, pairs)
+    dag = condense(spark, e)
+    res = topo_levels(spark, dag, pre_deduped=True)
+    assert res.converged
+    lab = tarjan_scc(pairs)
+    cpairs = sorted({(lab[a], lab[b]) for a, b in pairs if lab[a] != lab[b]})
+    want, rem = _kahn_levels(cpairs)
+    assert not rem
+    assert {r.id: r.level for r in res.vertices.collect()} == want
