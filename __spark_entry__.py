@@ -650,6 +650,27 @@ def q_adamic_adar(spark, sf_dir):
     ).select("u", "w", "n_common", F.round("aa_score", 6).alias("aa_score"))
 
 
+def q_jaccard(spark, sf_dir):
+    from pregel_spark.graph import jaccard_pairs
+
+    # same p-s bipartite graph and center cutoff as adamic_adar;
+    # denominators are the full uncut degrees
+    return jaccard_pairs(
+        _edges(spark, sf_dir), min_common=2, max_center_degree=100
+    ).select("u", "w", "n_common", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_katz_k4(spark, sf_dir):
+    """Truncated Katz over the cyclic bowtie page graph: BIGINT-exact
+    per-level walk counts, fixed-order attenuation polynomial."""
+    from pregel_spark.graph import katz_centrality
+
+    _register_views(spark, sf_dir)
+    return katz_centrality(
+        spark, spark.sql(BOWTIE_EDGES_SQL), alpha=0.05, k=4
+    ).select("id", F.round("katz", 6).alias("katz"))
+
+
 def q_crawl_delta(spark, sf_dir):
     from pregel_spark.graph import crawl_delta
 
@@ -1758,6 +1779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "adamic_adar": q_adamic_adar,
+        "jaccard_pairs": q_jaccard,
+        "katz_k4": q_katz_k4,
         "mirror_exact": q_mirror_exact,
         "mirror_pairs": q_mirror_pairs,
         "pricing_summary": _sql_query(PRICING_SQL),
@@ -2574,6 +2597,48 @@ SELECT p.u, p.w, p.n_common, round(p.aa, 6) AS aa_score
 FROM p
 WHERE NOT EXISTS (SELECT 1 FROM ue
                   WHERE ue.src = p.u AND ue.dst = p.w)
+""",
+        "jaccard_pairs": f"""
+WITH {edges_cte},
+{_UE_CTE},
+deg AS (SELECT src AS id, count(*) AS deg FROM ue GROUP BY src),
+nb AS (SELECT ue.src AS v, ue.dst AS x
+       FROM ue JOIN deg d ON d.id = ue.src WHERE d.deg <= 100),
+p AS (SELECT a.x AS u, b.x AS w, count(*) AS n_common
+      FROM nb a JOIN nb b ON b.v = a.v AND a.x < b.x
+      GROUP BY a.x, b.x
+      HAVING count(*) >= 2)
+SELECT p.u, p.w, p.n_common,
+       round(CAST(p.n_common AS DOUBLE)
+             / CAST(du.deg + dw.deg - p.n_common AS DOUBLE), 6) AS jaccard
+FROM p JOIN deg du ON du.id = p.u JOIN deg dw ON dw.id = p.w
+WHERE NOT EXISTS (SELECT 1 FROM ue
+                  WHERE ue.src = p.u AND ue.dst = p.w)
+""",
+        # attenuation factors are inlined as the exact Python doubles
+        # (repr(0.05**l)) so both engines evaluate the identical
+        # fixed-order polynomial over BIGINT-exact walk counts
+        "katz_k4": f"""
+WITH e0 AS ({BOWTIE_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e
+                               UNION ALL SELECT dst AS id FROM e) vu),
+c1 AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY dst),
+c2 AS (SELECT e.dst AS id, CAST(sum(c1.c) AS BIGINT) AS c
+       FROM e JOIN c1 ON c1.id = e.src GROUP BY e.dst),
+c3 AS (SELECT e.dst AS id, CAST(sum(c2.c) AS BIGINT) AS c
+       FROM e JOIN c2 ON c2.id = e.src GROUP BY e.dst),
+c4 AS (SELECT e.dst AS id, CAST(sum(c3.c) AS BIGINT) AS c
+       FROM e JOIN c3 ON c3.id = e.src GROUP BY e.dst)
+SELECT v.id,
+       round({0.05 ** 1!r} * CAST(COALESCE(c1.c, 0) AS DOUBLE)
+             + {0.05 ** 2!r} * CAST(COALESCE(c2.c, 0) AS DOUBLE)
+             + {0.05 ** 3!r} * CAST(COALESCE(c3.c, 0) AS DOUBLE)
+             + {0.05 ** 4!r} * CAST(COALESCE(c4.c, 0) AS DOUBLE), 6) AS katz
+FROM v LEFT JOIN c1 ON c1.id = v.id
+       LEFT JOIN c2 ON c2.id = v.id
+       LEFT JOIN c3 ON c3.id = v.id
+       LEFT JOIN c4 ON c4.id = v.id
 """,
         "simsearch_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

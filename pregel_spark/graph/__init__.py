@@ -38,8 +38,10 @@ from .structure import (
     clustering_coefficient,
     co_link_pairs,
     degree_assortativity,
+    jaccard_pairs,
     reciprocity,
 )
+from .katz import katz_centrality
 from .walks import random_walks
 from .mutations import (
     add_edges,
@@ -88,6 +90,8 @@ __all__ = [
     "effective_diameter",
     "harmonic_centrality",
     "adamic_adar",
+    "jaccard_pairs",
+    "katz_centrality",
     "clustering_coefficient",
     "co_link_pairs",
     "degree_assortativity",

@@ -187,6 +187,71 @@ def adamic_adar(
     )
 
 
+def jaccard_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_center_degree: int | None = 100,
+) -> DataFrame:
+    """Jaccard neighbor-overlap link prediction over the undirected
+    simple graph: for every non-adjacent unordered pair (u, w) sharing
+    at least ``min_common`` neighbors, return
+    (u, w, n_common, jaccard) where
+    ``jaccard = |N(u) ∩ N(w)| / |N(u) ∪ N(w)|``
+    — the second classic common-neighbor score next to
+    ``adamic_adar`` (Liben-Nowell & Kleinberg 2003 use both).
+
+    Same wedge shape and the same ``max_center_degree`` posting-list
+    cutoff as ``adamic_adar`` (common neighbors are counted only
+    through centers with deg ≤ cutoff — a pure function of exact
+    integer degrees, so an external oracle applies it identically);
+    the DENOMINATOR degrees deg(u), deg(w) are the full uncut
+    degrees. Both numerator and denominator are integer-exact, so the
+    ratio is one (int, int) → double division — engine-portable
+    without rounding (contract queries still round to 6 for hygiene).
+
+    Scale: the wedge join is the adamic_adar join (Σ deg² over kept
+    centers ≤ E·cutoff); the two degree lookups are O(V) hash joins
+    on the pair endpoints.
+    """
+    ue = undirect(edges).select("src", "dst")
+    deg = _udeg(ue)
+    centers = deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv")
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("dv") <= max_center_degree)
+    nbrs = (
+        ue.select(F.col("src").alias("v"), F.col("dst").alias("x"))
+        .join(centers.select("v"), "v")
+    )
+    a = nbrs.select("v", F.col("x").alias("u"))
+    b = nbrs.select("v", F.col("x").alias("w"))
+    pairs = (
+        a.join(b, "v")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    adj = ue.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("w")
+    )
+    du = deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du")
+    dw = deg.withColumnRenamed("id", "w").withColumnRenamed("deg", "dw")
+    return (
+        pairs.join(adj, ["u", "w"], "left_anti")
+        .join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dw") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def co_link_pairs(
     edges: DataFrame,
     direction: str = "cocitation",

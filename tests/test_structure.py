@@ -150,3 +150,72 @@ def test_co_link_rejects_bad_direction(spark):
 
     with pytest.raises(ValueError):
         co_link_pairs(edges_df(spark, [("a", "b")]), "sideways")
+
+
+def _brute_jaccard(pairs, min_common=2, max_center=100):
+    from collections import defaultdict
+
+    nbr = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            nbr[a].add(b)
+            nbr[b].add(a)
+    out = {}
+    nodes = sorted(nbr)
+    for i, u in enumerate(nodes):
+        for w in nodes[i + 1:]:
+            if w in nbr[u]:
+                continue
+            common = [
+                v for v in nbr[u] & nbr[w] if len(nbr[v]) <= max_center
+            ]
+            if len(common) >= min_common:
+                out[(u, w)] = (
+                    len(common),
+                    len(common) / (len(nbr[u]) + len(nbr[w]) - len(common)),
+                )
+    return out
+
+
+def test_jaccard_four_cycle_diagonals_are_one(spark):
+    from pregel_spark.graph import jaccard_pairs
+
+    e = edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    got = {(r.u, r.w): (r.n_common, r.jaccard) for r in jaccard_pairs(e).collect()}
+    assert got == {("a", "c"): (2, 1.0), ("b", "d"): (2, 1.0)}
+
+
+def test_jaccard_matches_brute_force_with_cutoff(spark):
+    from pregel_spark.graph import jaccard_pairs
+
+    # pseudo-random sparse graph; node n7 becomes a hub over the cutoff
+    pairs = [(f"n{(i * 7) % 13}", f"n{(i * 5 + 3) % 13}") for i in range(40)]
+    pairs += [("n7", f"m{i}") for i in range(9)]  # push n7's degree up
+    e = edges_df(spark, pairs)
+    for cutoff in (100, 8):
+        got = {
+            (r.u, r.w): (r.n_common, r.jaccard)
+            for r in jaccard_pairs(e, min_common=1, max_center_degree=cutoff).collect()
+        }
+        want = _brute_jaccard(pairs, min_common=1, max_center=cutoff)
+        assert set(got) == set(want)
+        for k, (nc, j) in want.items():
+            assert got[k][0] == nc
+            assert got[k][1] == pytest.approx(j)
+
+
+def test_jaccard_denominator_uses_full_degrees(spark):
+    from pregel_spark.graph import jaccard_pairs
+
+    # u and w share cheap centers c1, c2; u also links to a hub h whose
+    # degree exceeds the cutoff — the hub is excluded from n_common but
+    # still counts in deg(u)
+    pairs = [("u", "c1"), ("w", "c1"), ("u", "c2"), ("w", "c2"), ("u", "h")]
+    pairs += [("h", f"x{i}") for i in range(5)]
+    e = edges_df(spark, pairs)
+    got = {
+        (r.u, r.w): (r.n_common, r.jaccard)
+        for r in jaccard_pairs(e, min_common=2, max_center_degree=4).collect()
+    }
+    # deg(u)=3 (c1,c2,h), deg(w)=2 -> union = 3+2-2 = 3
+    assert got[("u", "w")] == (2, pytest.approx(2.0 / 3.0))
