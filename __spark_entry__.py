@@ -194,6 +194,30 @@ WHERE a.c_custkey <= 6 AND b.c_custkey <= 6
 # every 7th part's links vanish (pages dropped from the crawl), every
 # 11th part gains a link to a low-numbered supplier (fresh outlinks);
 # both engines derive old (EDGES_SQL) and new from shared text
+# Boruvka fixture: the customer chain+chord circulant, re-weighted so
+# the exact MST is derivable in closed form (the SQL oracle below):
+# path edges (c, c+1) cost 1+(c%7) EXCEPT every 10th (c%10=0), which
+# costs 500; chords (c, c+2) cost 10+(c%89). Every cheap path edge is
+# cheaper than every chord, so Kruskal keeps all cheap path edges,
+# reconnects each break via the cheaper of its two crossing chords
+# ((c0-1, c0+1) at 10+((c0-1)%89) vs (c0, c0+2) at 10+(c0%89) — always
+# distinct), and rejects everything else as cycles. The engine runs
+# full multi-round Boruvka with no knowledge of this structure.
+MST_EDGES_SQL = """
+SELECT 'c' || CAST(c_custkey AS STRING) AS src,
+       'c' || CAST(c_custkey + 1 AS STRING) AS dst,
+       CAST(CASE WHEN c_custkey % 10 = 0 THEN 500
+                 ELSE 1 + (c_custkey % 7) END AS DOUBLE) AS weight
+FROM customer
+WHERE c_custkey + 1 <= (SELECT max(c_custkey) FROM customer)
+UNION ALL
+SELECT 'c' || CAST(c_custkey AS STRING) AS src,
+       'c' || CAST(c_custkey + 2 AS STRING) AS dst,
+       CAST(10 + (c_custkey % 89) AS DOUBLE) AS weight
+FROM customer
+WHERE c_custkey + 2 <= (SELECT max(c_custkey) FROM customer)
+"""
+
 NEW_EDGES_SQL = """
 SELECT DISTINCT 'p' || CAST(l_partkey AS STRING) AS src,
                 's' || CAST(l_suppkey AS STRING) AS dst,
@@ -669,6 +693,17 @@ def q_katz_k4(spark, sf_dir):
     return katz_centrality(
         spark, spark.sql(BOWTIE_EDGES_SQL), alpha=0.05, k=4
     ).select("id", F.round("katz", 6).alias("katz"))
+
+
+def q_mst(spark, sf_dir):
+    """Multi-round Boruvka over the re-weighted customer circulant;
+    the oracle derives the same forest from the fixture's structure."""
+    from pregel_spark.graph import minimum_spanning_forest
+
+    _register_views(spark, sf_dir)
+    res = minimum_spanning_forest(spark, spark.sql(MST_EDGES_SQL))
+    assert res.converged
+    return res.vertices.select("u", "w", "weight")
 
 
 def q_crawl_delta(spark, sf_dir):
@@ -1781,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "jaccard_pairs": q_jaccard,
         "katz_k4": q_katz_k4,
+        "mst_boruvka": q_mst,
         "mirror_exact": q_mirror_exact,
         "mirror_pairs": q_mirror_pairs,
         "pricing_summary": _sql_query(PRICING_SQL),
@@ -2639,6 +2675,50 @@ FROM v LEFT JOIN c1 ON c1.id = v.id
        LEFT JOIN c2 ON c2.id = v.id
        LEFT JOIN c3 ON c3.id = v.id
        LEFT JOIN c4 ON c4.id = v.id
+""",
+        # closed-form MST of the re-weighted circulant (see
+        # MST_EDGES_SQL): all cheap path edges + per break the cheaper
+        # crossing chord; least/greatest mirrors the engine's
+        # canonicalization of string vertex ids
+        "mst_boruvka": """
+WITH mx AS (SELECT max(c_custkey) AS m, min(c_custkey) AS mn FROM customer),
+keep1 AS (
+    SELECT least('c' || CAST(c_custkey AS STRING),
+                 'c' || CAST(c_custkey + 1 AS STRING)) AS u,
+           greatest('c' || CAST(c_custkey AS STRING),
+                    'c' || CAST(c_custkey + 1 AS STRING)) AS w,
+           CAST(1 + (c_custkey % 7) AS DOUBLE) AS weight
+    FROM customer, mx
+    WHERE c_custkey + 1 <= m AND c_custkey % 10 <> 0),
+breaks AS (
+    SELECT c_custkey AS c0 FROM customer, mx
+    WHERE c_custkey % 10 = 0 AND c_custkey + 1 <= m),
+cand AS (
+    SELECT c0,
+           least('c' || CAST(c0 - 1 AS STRING),
+                 'c' || CAST(c0 + 1 AS STRING)) AS u,
+           greatest('c' || CAST(c0 - 1 AS STRING),
+                    'c' || CAST(c0 + 1 AS STRING)) AS w,
+           CAST(10 + ((c0 - 1) % 89) AS DOUBLE) AS weight
+    FROM breaks, mx WHERE c0 - 1 >= mn
+    UNION ALL
+    SELECT c0,
+           least('c' || CAST(c0 AS STRING),
+                 'c' || CAST(c0 + 2 AS STRING)) AS u,
+           greatest('c' || CAST(c0 AS STRING),
+                    'c' || CAST(c0 + 2 AS STRING)) AS w,
+           CAST(10 + (c0 % 89) AS DOUBLE) AS weight
+    FROM breaks, mx WHERE c0 + 2 <= m),
+best AS (
+    SELECT u, w, weight FROM (
+        SELECT u, w, weight,
+               ROW_NUMBER() OVER (PARTITION BY c0
+                                  ORDER BY weight, u, w) AS rn
+        FROM cand) r
+    WHERE rn = 1)
+SELECT u, w, weight FROM keep1
+UNION ALL
+SELECT u, w, weight FROM best
 """,
         "simsearch_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

@@ -42,6 +42,7 @@ from .structure import (
     reciprocity,
 )
 from .katz import katz_centrality
+from .mst import minimum_spanning_forest
 from .walks import random_walks
 from .mutations import (
     add_edges,
@@ -92,6 +93,7 @@ __all__ = [
     "adamic_adar",
     "jaccard_pairs",
     "katz_centrality",
+    "minimum_spanning_forest",
     "clustering_coefficient",
     "co_link_pairs",
     "degree_assortativity",
