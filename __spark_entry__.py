@@ -1050,6 +1050,17 @@ def q_simsearch_ivf(spark, sf_dir):
     return ivf_topk(embs, queries, k=5, n_centroids=16, nprobe=4)
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (k=4, 2 full-corpus update rounds,
+    hash60-ordered deterministic init); the oracle unrolls the same two
+    rounds over unnested dims in DuckDB."""
+    from pregel_spark.pipeline import kmeans_assign
+
+    return kmeans_assign(spark, _embs(spark, sf_dir), k=4, iters=2).select(
+        F.col("id").alias("vec_id"), "cluster"
+    )
+
+
 def q_media_features(spark, sf_dir):
     from pregel_spark.pipeline import media_feature_rows, media_from_documents
 
@@ -1617,6 +1628,54 @@ SELECT a, b, jaccard FROM j WHERE jaccard >= {threshold}
 """
 
 
+def _kmeans_sql(k=4, iters=2) -> str:
+    """Unrolled Lloyd k-means mirroring pipeline.cluster.kmeans_assign:
+    hash60-ordered seed pick, per-iteration argmin assignment (ties to
+    the smaller cluster id) and per-dim mean update with empty-cluster
+    carry, final assignment under the last centroids. All arithmetic is
+    double on both engines; assignments are integer-stable far from any
+    argmin boundary."""
+    dist = (
+        "list_sum(list_transform(p.v, (x, i) ->"
+        " (x - c.cv[i]) * (x - c.cv[i])))"
+    )
+
+    def assign(name, cents):
+        return f"""
+{name} AS (
+  SELECT id, v, cl FROM (
+    SELECT p.id, p.v, c.cl,
+           row_number() OVER (PARTITION BY p.id
+                              ORDER BY {dist}, c.cl) AS rn
+    FROM pts p CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    parts = [f"""WITH pts AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL),
+c0 AS (
+  SELECT cl - 1 AS cl, v AS cv FROM (
+    SELECT row_number() OVER (
+             ORDER BY {_H60.format(x='CAST(id AS VARCHAR)')}, id) AS cl, v
+    FROM pts) WHERE cl <= {k})"""]
+    for it in range(1, iters + 1):
+        parts.append(assign(f"a{it}", f"c{it - 1}"))
+        parts.append(f"""
+u{it} AS (
+  SELECT cl, list(m ORDER BY dim) AS cv FROM (
+    SELECT cl, dim, sum(val) / count(*) AS m FROM (
+      SELECT cl, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS dim
+      FROM a{it}) GROUP BY cl, dim) GROUP BY cl),
+c{it} AS (
+  SELECT c.cl, coalesce(u.cv, c.cv) AS cv
+  FROM c{it - 1} c LEFT JOIN u{it} u ON c.cl = u.cl)""")
+    parts.append(assign("fin", f"c{iters}"))
+    return (
+        ",".join(parts)
+        + "\nSELECT id AS vec_id, CAST(cl AS INTEGER) AS cluster FROM fin"
+    )
+
+
 def _simhash_sql(max_hamming=16) -> str:
     """Unrolled SimHash: the same two 32-bit md5-quarter token hashes
     as dedup.simhash_fingerprints (portable: DuckDB md5 of VARCHAR
@@ -1817,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard,
         "katz_k4": q_katz_k4,
         "mst_boruvka": q_mst,
+        "kmeans_k4": q_kmeans,
         "mirror_exact": q_mirror_exact,
         "mirror_pairs": q_mirror_pairs,
         "pricing_summary": _sql_query(PRICING_SQL),
@@ -2734,6 +2794,7 @@ ranked AS (
     FROM scored)
 SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
 """,
+        "kmeans_k4": _kmeans_sql(k=4, iters=2),
         "pricing_summary": PRICING_SQL,
         "top_customers": TOP_CUSTOMERS_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,

@@ -50,6 +50,7 @@ from .simsearch import (
     ivf_topk_indexed,
     write_ivf_index,
 )
+from .cluster import kmeans_assign, kmeans_fit
 from .lines import chunk_lines, line_dedup, pack_sequences, split_lines
 from .multimodal import (
     decode_media_batch,
@@ -94,6 +95,8 @@ __all__ = [
     "term_index",
     "tfidf_scores",
     "brute_force_topk",
+    "kmeans_assign",
+    "kmeans_fit",
     "ivf_topk",
     "ivf_topk_indexed",
     "write_ivf_index",
