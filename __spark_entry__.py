@@ -428,6 +428,38 @@ def q_connected_components_star(spark, sf_dir):
     return res.vertices.select("id", "component")
 
 
+def q_cc_incremental(spark, sf_dir):
+    """Recrawl-incremental CC: the edge table splits 19:1 into an 'old
+    snapshot' and a 'delta' by a portable hash of the arc; prior
+    labels come from CC on the old part, the delta folds in through
+    prior-label star edges (graph.crawl.incremental_components). The
+    oracle is a FULL CC over the union — byte-equality proves
+    incremental == full recompute (min-id labels are canonical)."""
+    from pregel_spark.graph import connected_components, incremental_components
+    from pregel_spark.pipeline.hashing import hash60
+
+    edges = _edges(spark, sf_dir)
+    h = hash60(F.concat_ws(">", "src", "dst")) % 20
+    prior = connected_components(spark, edges.filter(h != 0)).vertices
+    res = incremental_components(spark, prior, edges.filter(h == 0))
+    return res.vertices.select("id", "component")
+
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the 2-round LPA partition on the circulant
+    fixture; per-community sufficient statistics + contribution."""
+    from pregel_spark.graph import label_propagation, modularity
+
+    edges = _tri_edges(spark, sf_dir)
+    labels = label_propagation(spark, edges, max_iter=2).vertices
+    return modularity(edges, labels).select(
+        "label",
+        "intra_edges",
+        "deg_sum",
+        F.round("contrib", 6).alias("contrib"),
+    )
+
+
 def q_comp_sizes_topk(spark, sf_dir):
     from pregel_spark.graph import connected_components
 
@@ -1810,6 +1842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_full": q_pagerank_full,
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
+        "cc_incremental": q_cc_incremental,
+        "modularity_lpa": q_modularity,
         "comp_sizes_topk": q_comp_sizes_topk,
         "triangle_count": q_triangle_count,
         "triangle_per_vertex": q_triangle_per_vertex,
@@ -2191,6 +2225,13 @@ WITH RECURSIVE {edges_cte},
 {_CC_CTE}
 SELECT id, component FROM comp
 """,
+        # full CC over old ∪ delta — equality IS the incremental claim
+        "cc_incremental": f"""
+WITH RECURSIVE {edges_cte},
+{_UE_CTE},
+{_CC_CTE}
+SELECT id, component FROM comp
+""",
         "comp_sizes_topk": f"""
 WITH RECURSIVE {edges_cte},
 {_UE_CTE},
@@ -2247,6 +2288,36 @@ p2 AS (SELECT id, cand AS label FROM (
          SELECT id, cand, ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, cand ASC) AS rn
          FROM c2) t WHERE rn = 1)
 SELECT v.id, COALESCE(p2.label, v.id) AS label FROM v LEFT JOIN p2 ON p2.id = v.id
+""",
+        "modularity_lpa": f"""
+WITH {tri_cte},
+{_UE_CTE},
+v AS (SELECT src AS id FROM ue UNION SELECT dst FROM ue),
+l0 AS (SELECT id, id AS label FROM v),
+c1 AS (SELECT ue.dst AS id, l.label AS cand, count(*) AS n
+       FROM ue JOIN l0 l ON l.id = ue.src GROUP BY ue.dst, l.label),
+p1 AS (SELECT id, cand AS label FROM (
+         SELECT id, cand, ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, cand ASC) AS rn
+         FROM c1) t WHERE rn = 1),
+l1 AS (SELECT v.id, COALESCE(p1.label, v.id) AS label FROM v LEFT JOIN p1 ON p1.id = v.id),
+c2 AS (SELECT ue.dst AS id, l.label AS cand, count(*) AS n
+       FROM ue JOIN l1 l ON l.id = ue.src GROUP BY ue.dst, l.label),
+p2 AS (SELECT id, cand AS label FROM (
+         SELECT id, cand, ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, cand ASC) AS rn
+         FROM c2) t WHERE rn = 1),
+lbl AS (SELECT v.id, COALESCE(p2.label, v.id) AS label FROM v LEFT JOIN p2 ON p2.id = v.id),
+up AS (SELECT src AS u, dst AS w FROM ue WHERE src < dst),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM up),
+deg AS (SELECT src AS id, count(*) AS deg FROM ue GROUP BY src),
+degsum AS (SELECT l.label, SUM(COALESCE(deg.deg, 0)) AS deg_sum
+           FROM lbl l LEFT JOIN deg ON deg.id = l.id GROUP BY l.label),
+intra AS (SELECT la.label, count(*) AS intra_edges
+          FROM up JOIN lbl la ON la.id = up.u JOIN lbl lb ON lb.id = up.w
+          WHERE la.label = lb.label GROUP BY la.label)
+SELECT d.label, COALESCE(i.intra_edges, 0) AS intra_edges, d.deg_sum,
+       round(COALESCE(i.intra_edges, 0) / m.m
+             - (d.deg_sum / (2 * m.m)) * (d.deg_sum / (2 * m.m)), 6) AS contrib
+FROM degsum d LEFT JOIN intra i ON i.label = d.label CROSS JOIN m
 """,
         "maxprop": f"""
 WITH RECURSIVE {edges_cte},

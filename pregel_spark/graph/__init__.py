@@ -30,7 +30,7 @@ from .dag import topo_levels
 from .scc import bowtie, condense, strongly_connected_components
 from .mirrors import exact_mirror_groups, mirror_pairs, outlink_docs
 from .betweenness import betweenness
-from .crawl import crawl_delta, rank_shift
+from .crawl import crawl_delta, incremental_components, rank_shift
 from .mis import maximal_independent_set
 from .redirects import resolve_redirects
 from .structure import (
@@ -39,6 +39,7 @@ from .structure import (
     co_link_pairs,
     degree_assortativity,
     jaccard_pairs,
+    modularity,
     reciprocity,
 )
 from .katz import katz_centrality
@@ -97,6 +98,7 @@ __all__ = [
     "clustering_coefficient",
     "co_link_pairs",
     "degree_assortativity",
+    "modularity",
     "reciprocity",
     "spam_mass",
     "outlink_docs",
@@ -106,5 +108,6 @@ __all__ = [
     "betweenness",
     "maximal_independent_set",
     "crawl_delta",
+    "incremental_components",
     "rank_shift",
 ]

@@ -306,3 +306,70 @@ def co_link_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def modularity(
+    edges: DataFrame, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Newman modularity of a vertex partition over the undirected
+    simple graph: per-community rows ``(label, intra_edges, deg_sum,
+    contrib)`` with ``contrib = intra_edges/m - (deg_sum/(2m))**2``;
+    ``Q = sum(contrib)``. The quality number every community detection
+    (LPA here) is judged by — reference scope: §2.9 analytics extras.
+
+    Scale: one distinct-pair pass over E (the same least/greatest
+    canonicalization as the triangle counter), two hash joins of the
+    pair list against the label table, then ONE groupBy(label) partial
+    agg — output is O(#communities). The graph total ``m`` is a 1-row
+    aggregate re-injected via the sanctioned broadcast cross join
+    (same shape as BM25's corpus stats; linear, since the broadcast
+    side is exactly one row): nothing quadratic, no Python. Vertices
+    labeled but absent from the simple graph (isolated / self-loop-only) carry
+    deg 0 and contribute 0, matching the convention that modularity is
+    defined on the edge set.
+
+    Portability: intra_edges, deg_sum and m are exact integers; the
+    two divisions are IEEE double ops identical in any engine, rounded
+    to 6 at the contract boundary.
+    """
+    lab = labels.select("id", F.col(label_col).alias("_lbl"))
+    up = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lu = (
+        up.join(lab.withColumnRenamed("id", "u"), "u")
+        .withColumnRenamed("_lbl", "_lu")
+        .join(lab.withColumnRenamed("id", "v"), "v")
+        .withColumnRenamed("_lbl", "_lv")
+    )
+    intra = (
+        lu.filter(F.col("_lu") == F.col("_lv"))
+        .groupBy(F.col("_lu").alias("_lbl"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    deg = _udeg(undirect(edges))
+    degsum = (
+        lab.join(deg, "id", "left_outer")
+        .groupBy("_lbl")
+        .agg(F.sum(F.coalesce("deg", F.lit(0))).alias("deg_sum"))
+    )
+    m_df = up.agg(F.count(F.lit(1)).alias("_m"))
+    return (
+        degsum.join(intra, "_lbl", "left_outer")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            F.col("_lbl").alias(label_col),
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            "deg_sum",
+            (
+                F.coalesce("intra_edges", F.lit(0)) / F.col("_m")
+                # x*x, not pow(x,2): bit-identical in every engine
+                - (F.col("deg_sum") / (2.0 * F.col("_m")))
+                * (F.col("deg_sum") / (2.0 * F.col("_m")))
+            ).alias("contrib"),
+        )
+    )

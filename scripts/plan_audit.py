@@ -54,6 +54,8 @@ ALLOW = {
     "bm25": {"BroadcastNestedLoopJoin"},
     "tfidf": {"BroadcastNestedLoopJoin"},
     "unigram_lm": {"BroadcastNestedLoopJoin"},
+    # modularity re-injects the 1-row edge total m the same way
+    "modularity_lpa": {"BroadcastNestedLoopJoin"},
 }
 RED = ("CartesianProduct", "BatchEvalPython")
 VECTOR = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -63,3 +63,35 @@ def test_rank_shift_outer_semantics(spark):
         assert np.isclose(rows[v].rank_old, po[v], atol=1e-12)
         assert np.isclose(rows[v].rank_new, pn[v], atol=1e-12)
         assert np.isclose(rows[v].shift, pn[v] - po[v], atol=1e-12)
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    from pregel_spark.graph import connected_components, incremental_components
+
+    rng = np.random.default_rng(11)
+    # two random blobs that the delta then bridges, plus brand-new vertices
+    old = [(f"v{a}", f"v{b}") for a, b in rng.integers(0, 30, (60, 2)) if a != b]
+    old += [(f"w{a}", f"w{b}") for a, b in rng.integers(0, 30, (60, 2)) if a != b]
+    delta = [("v0", "w0"), ("w1", "z0"), ("z0", "z1"), ("q5", "q6")]
+    prior = connected_components(spark, _df(spark, old)).vertices
+    inc = {
+        r.id: r.component
+        for r in incremental_components(spark, prior, _df(spark, delta)).vertices.collect()
+    }
+    full = {
+        r.id: r.component
+        for r in connected_components(spark, _df(spark, old + delta)).vertices.collect()
+    }
+    assert inc == full
+
+
+def test_incremental_components_no_delta_is_identity(spark):
+    from pregel_spark.graph import connected_components, incremental_components
+
+    prior = connected_components(spark, _df(spark, OLD)).vertices
+    empty = spark.createDataFrame([], "src string, dst string")
+    got = {
+        r.id: r.component
+        for r in incremental_components(spark, prior, empty).vertices.collect()
+    }
+    assert got == {r.id: r.component for r in prior.collect()}

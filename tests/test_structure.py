@@ -219,3 +219,54 @@ def test_jaccard_denominator_uses_full_degrees(spark):
     }
     # deg(u)=3 (c1,c2,h), deg(w)=2 -> union = 3+2-2 = 3
     assert got[("u", "w")] == (2, pytest.approx(2.0 / 3.0))
+
+
+def test_modularity_two_cliques(spark):
+    from pregel_spark.graph import modularity
+
+    # two 3-cliques joined by one bridge; partition = the two cliques
+    e = edges_df(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+    )
+    labels = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "L"), ("x", "R"), ("y", "R"), ("z", "R")],
+        "id string, label string",
+    )
+    rows = {r.label: r for r in modularity(e, labels).collect()}
+    # m=7; each side: intra=3, deg_sum=7  ->  3/7 - (7/14)^2
+    want = 3.0 / 7.0 - 0.25
+    for side in ("L", "R"):
+        assert rows[side].intra_edges == 3
+        assert rows[side].deg_sum == 7
+        assert rows[side].contrib == pytest.approx(want)
+    assert sum(r.contrib for r in rows.values()) == pytest.approx(2 * want)
+
+
+def test_modularity_singleton_partition_is_negative(spark):
+    from pregel_spark.graph import modularity
+
+    e = edges_df(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    labels = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("c", "c")], "id string, label string"
+    )
+    q = sum(r.contrib for r in modularity(e, labels).collect())
+    # all-singletons: Q = -sum((d_i/2m)^2) = -3*(2/6)^2
+    assert q == pytest.approx(-3 * (2.0 / 6.0) ** 2)
+
+
+def test_modularity_ignores_duplicate_and_self_edges(spark):
+    from pregel_spark.graph import modularity
+
+    e = edges_df(
+        spark, [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"), ("b", "c")]
+    )
+    labels = spark.createDataFrame(
+        [("a", "1"), ("b", "1"), ("c", "2")], "id string, label string"
+    )
+    rows = {r.label: r for r in modularity(e, labels).collect()}
+    # simple graph: edges {a-b, b-c}, m=2
+    assert rows["1"].intra_edges == 1 and rows["1"].deg_sum == 3
+    assert rows["2"].intra_edges == 0 and rows["2"].deg_sum == 1
+    assert rows["1"].contrib == pytest.approx(0.5 - (3.0 / 4.0) ** 2)
