@@ -287,6 +287,25 @@ FROM ({EDGES_SQL}) be
 GROUP BY 1, 2
 """
 
+# two synchronous LPA rounds over ue -> lbl(id, label); shared by the
+# modularity_lpa and refine_modularity oracles (must mirror
+# label_propagation(max_iter=2) exactly: count ties break min label)
+_LPA2_LBL_CTE = """
+v AS (SELECT src AS id FROM ue UNION SELECT dst FROM ue),
+l0 AS (SELECT id, id AS label FROM v),
+c1 AS (SELECT ue.dst AS id, l.label AS cand, count(*) AS n
+       FROM ue JOIN l0 l ON l.id = ue.src GROUP BY ue.dst, l.label),
+p1 AS (SELECT id, cand AS label FROM (
+         SELECT id, cand, ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, cand ASC) AS rn
+         FROM c1) t WHERE rn = 1),
+l1 AS (SELECT v.id, COALESCE(p1.label, v.id) AS label FROM v LEFT JOIN p1 ON p1.id = v.id),
+c2 AS (SELECT ue.dst AS id, l.label AS cand, count(*) AS n
+       FROM ue JOIN l1 l ON l.id = ue.src GROUP BY ue.dst, l.label),
+p2 AS (SELECT id, cand AS label FROM (
+         SELECT id, cand, ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, cand ASC) AS rn
+         FROM c2) t WHERE rn = 1),
+lbl AS (SELECT v.id, COALESCE(p2.label, v.id) AS label FROM v LEFT JOIN p2 ON p2.id = v.id)"""
+
 _UE_CTE = """
 ue AS (
     SELECT src, dst FROM e0 WHERE src <> dst
@@ -458,6 +477,18 @@ def q_modularity(spark, sf_dir):
         "deg_sum",
         F.round("contrib", 6).alias("contrib"),
     )
+
+
+def q_refine_modularity(spark, sf_dir):
+    """One integer-exact local-move round over the 2-round LPA
+    partition: each vertex moves to the neighbor community maximizing
+    the modularity gain (argmax over the INTEGER score 2m*k - d*sig',
+    so no float ordering crosses the engine boundary)."""
+    from pregel_spark.graph import label_propagation, refine_modularity
+
+    edges = _tri_edges(spark, sf_dir)
+    labels = label_propagation(spark, edges, max_iter=2).vertices
+    return refine_modularity(edges, labels).select("id", "label")
 
 
 def q_comp_sizes_topk(spark, sf_dir):
@@ -745,6 +776,19 @@ def q_crawl_delta(spark, sf_dir):
     return crawl_delta(spark.sql(EDGES_SQL), spark.sql(NEW_EDGES_SQL))
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Next fetch batch: uncrawled link targets (here: suppliers,
+    which never appear as src) scored by distinct citing pages, capped
+    at 5 per politeness host group."""
+    from pregel_spark.graph import crawl_frontier
+
+    edges = _edges(spark, sf_dir)
+    crawled = edges.select("src").distinct()
+    return crawl_frontier(
+        edges, crawled, host_fn=_host_group, per_host_cap=5
+    )
+
+
 def q_rank_shift_k3(spark, sf_dir):
     from pregel_spark.graph import rank_shift
 
@@ -857,6 +901,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     from pregel_spark.pipeline import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1, k=3)
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Directional shingle containment (quote-inclusion near-dups that
+    Jaccard misses); same inverted index + df cutoff as the Jaccard
+    query."""
+    from pregel_spark.pipeline import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), threshold=0.5, k=3)
 
 
 def q_dedup_minhash(spark, sf_dir):
@@ -1844,6 +1897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_star": q_connected_components_star,
         "cc_incremental": q_cc_incremental,
         "modularity_lpa": q_modularity,
+        "refine_modularity": q_refine_modularity,
+        "crawl_frontier": q_crawl_frontier,
+        "dedup_containment": q_dedup_containment,
         "comp_sizes_topk": q_comp_sizes_topk,
         "triangle_count": q_triangle_count,
         "triangle_per_vertex": q_triangle_per_vertex,
@@ -1949,6 +2005,24 @@ FROM ids LEFT JOIN out_d ON ids.id = out_d.id LEFT JOIN in_d ON ids.id = in_d.id
         "pagerank_k8": _pagerank_unrolled_sql(8, EDGES_SQL),
         "ppr_k4": _ppr_unrolled_sql(4, EDGES_SQL),
         "spam_mass_k4": _spam_mass_unrolled_sql(4, EDGES_SQL),
+        "crawl_frontier": f"""
+WITH {edges_cte},
+seen AS (SELECT DISTINCT src AS url FROM e0),
+cites AS (SELECT DISTINCT src, dst AS url FROM e0),
+cand AS (SELECT c.url, count(*) AS score
+         FROM cites c LEFT JOIN seen s ON s.url = c.url
+         WHERE s.url IS NULL GROUP BY c.url),
+h AS (SELECT url,
+             'h' || substring(url, 1, 1)
+                 || CAST(CAST(substring(url, 2) AS BIGINT) % 20 AS STRING) AS host,
+             score
+      FROM cand),
+r AS (SELECT url, host, score,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY score DESC, url ASC) AS host_rank
+      FROM h)
+SELECT url, host, score, host_rank FROM r WHERE host_rank <= 5
+""",
         "crawl_delta": f"""
 WITH o AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL}) x),
 n AS (SELECT DISTINCT src, dst FROM ({NEW_EDGES_SQL}) y)
@@ -2292,20 +2366,7 @@ SELECT v.id, COALESCE(p2.label, v.id) AS label FROM v LEFT JOIN p2 ON p2.id = v.
         "modularity_lpa": f"""
 WITH {tri_cte},
 {_UE_CTE},
-v AS (SELECT src AS id FROM ue UNION SELECT dst FROM ue),
-l0 AS (SELECT id, id AS label FROM v),
-c1 AS (SELECT ue.dst AS id, l.label AS cand, count(*) AS n
-       FROM ue JOIN l0 l ON l.id = ue.src GROUP BY ue.dst, l.label),
-p1 AS (SELECT id, cand AS label FROM (
-         SELECT id, cand, ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, cand ASC) AS rn
-         FROM c1) t WHERE rn = 1),
-l1 AS (SELECT v.id, COALESCE(p1.label, v.id) AS label FROM v LEFT JOIN p1 ON p1.id = v.id),
-c2 AS (SELECT ue.dst AS id, l.label AS cand, count(*) AS n
-       FROM ue JOIN l1 l ON l.id = ue.src GROUP BY ue.dst, l.label),
-p2 AS (SELECT id, cand AS label FROM (
-         SELECT id, cand, ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, cand ASC) AS rn
-         FROM c2) t WHERE rn = 1),
-lbl AS (SELECT v.id, COALESCE(p2.label, v.id) AS label FROM v LEFT JOIN p2 ON p2.id = v.id),
+{_LPA2_LBL_CTE},
 up AS (SELECT src AS u, dst AS w FROM ue WHERE src < dst),
 m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM up),
 deg AS (SELECT src AS id, count(*) AS deg FROM ue GROUP BY src),
@@ -2318,6 +2379,37 @@ SELECT d.label, COALESCE(i.intra_edges, 0) AS intra_edges, d.deg_sum,
        round(COALESCE(i.intra_edges, 0) / m.m
              - (d.deg_sum / (2 * m.m)) * (d.deg_sum / (2 * m.m)), 6) AS contrib
 FROM degsum d LEFT JOIN intra i ON i.label = d.label CROSS JOIN m
+""",
+        # integer-exact local-move argmax: score 2m*k - d*sig' (= gain
+        # * 2m^2), current community biased to win ties (strict
+        # improvement only), then min label
+        "refine_modularity": f"""
+WITH {tri_cte},
+{_UE_CTE},
+{_LPA2_LBL_CTE},
+m AS (SELECT count(*) // 2 AS m FROM ue),
+deg AS (SELECT src AS id, count(*) AS deg FROM ue GROUP BY src),
+k AS (SELECT ue.src AS id, l.label AS cand, count(*) AS k
+      FROM ue JOIN lbl l ON l.id = ue.dst GROUP BY ue.src, l.label),
+cands AS (SELECT id, cand, max(k) AS k FROM (
+            SELECT id, cand, k FROM k
+            UNION ALL SELECT id, label AS cand, 0 AS k FROM lbl) u
+          GROUP BY id, cand),
+sig AS (SELECT l.label, SUM(COALESCE(deg.deg, 0)) AS sig
+        FROM lbl l LEFT JOIN deg ON deg.id = l.id GROUP BY l.label),
+scored AS (SELECT c.id, c.cand, l.label AS cur, COALESCE(d.deg, 0) AS d, c.k,
+                  s.sig - CASE WHEN c.cand = l.label
+                               THEN COALESCE(d.deg, 0) ELSE 0 END AS sigx
+           FROM cands c JOIN lbl l ON l.id = c.id
+           LEFT JOIN deg d ON d.id = c.id
+           JOIN sig s ON s.label = c.cand),
+pick AS (SELECT id, cand,
+                ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+                    2 * m.m * k - d * sigx DESC,
+                    CASE WHEN cand = cur THEN 0 ELSE 1 END ASC,
+                    cand ASC) AS rn
+         FROM scored CROSS JOIN m)
+SELECT id, cand AS label FROM pick WHERE rn = 1
 """,
         "maxprop": f"""
 WITH RECURSIVE {edges_cte},
@@ -2456,6 +2548,27 @@ j AS (SELECT a, b,
              round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
       FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b)
 SELECT a, b, jaccard FROM j WHERE jaccard >= 0.1
+""",
+        "dedup_containment": r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0),
+sh0 AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS shs
+    FROM toks WHERE len(w) >= 3),
+sh AS (SELECT doc_id AS id, unnest(shs) AS sh FROM sh0),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+dfreq AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+rare AS (SELECT s.id, s.sh FROM sh s JOIN dfreq ON s.sh = dfreq.sh WHERE dfreq.c <= 100),
+inter AS (SELECT x.id AS a, y.id AS b, count(*) AS i
+          FROM rare x JOIN rare y ON x.sh = y.sh AND x.id < y.id
+          GROUP BY x.id, y.id),
+bi AS (SELECT a, b, i FROM inter UNION ALL SELECT b AS a, a AS b, i FROM inter),
+c AS (SELECT bi.a AS inner_id, bi.b AS outer_id,
+             round(i / CAST(sa.sz AS DOUBLE), 6) AS containment
+      FROM bi JOIN sizes sa ON sa.id = bi.a)
+SELECT inner_id, outer_id, containment FROM c WHERE containment >= 0.5
 """,
         "dedup_minhash": _minhash_sql(threshold=0.1),
         "mirror_exact": _MIRROR_EXACT_SQL,

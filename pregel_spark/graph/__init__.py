@@ -30,7 +30,7 @@ from .dag import topo_levels
 from .scc import bowtie, condense, strongly_connected_components
 from .mirrors import exact_mirror_groups, mirror_pairs, outlink_docs
 from .betweenness import betweenness
-from .crawl import crawl_delta, incremental_components, rank_shift
+from .crawl import crawl_delta, crawl_frontier, incremental_components, rank_shift
 from .mis import maximal_independent_set
 from .redirects import resolve_redirects
 from .structure import (
@@ -41,6 +41,7 @@ from .structure import (
     jaccard_pairs,
     modularity,
     reciprocity,
+    refine_modularity,
 )
 from .katz import katz_centrality
 from .mst import minimum_spanning_forest
@@ -99,6 +100,7 @@ __all__ = [
     "co_link_pairs",
     "degree_assortativity",
     "modularity",
+    "refine_modularity",
     "reciprocity",
     "spam_mass",
     "outlink_docs",
@@ -108,6 +110,7 @@ __all__ = [
     "betweenness",
     "maximal_independent_set",
     "crawl_delta",
+    "crawl_frontier",
     "incremental_components",
     "rank_shift",
 ]

@@ -105,3 +105,61 @@ def incremental_components(
     )
     union = stars.unionByName(delta_edges.select("src", "dst"))
     return connected_components(spark, union, **kw)
+
+
+def crawl_frontier(
+    edges: DataFrame,
+    crawled: DataFrame,
+    host_fn=None,
+    per_host_cap: int = 10,
+    budget: int | None = None,
+) -> DataFrame:
+    """The next fetch batch of a continuous crawl: uncrawled link
+    targets, scored by how many distinct known pages cite them (in a
+    crawl the edge table's sources ARE the fetched pages, so this is
+    the classic indegree-from-crawled frontier priority), subject to a
+    per-host politeness cap. Rows ``(url, host, score, host_rank)``
+    with ``host_rank`` the 1-based position within the host by
+    ``(score desc, url asc)`` and ``host_rank <= per_host_cap``;
+    with ``budget`` set, additionally the global top-``budget`` by the
+    same order. Reference scope: the loader/ingestion side
+    (`pregel/loader.lua`) consumes exactly such batches.
+
+    ``host_fn``: Column -> Column grouping a page id into its
+    politeness domain (same contract as ``contract_graph``'s
+    ``group_fn``); default = each page its own host (cap vacuous).
+
+    Scale: one distinct pass over E, one left-anti hash join against
+    the crawled set (at 10^12 pages ship the crawled side as
+    fingerprints, as ``incremental_exact`` does for text), one
+    groupBy(url) count, then a per-host window. The window shuffles
+    once on host and sorts per host — bounded by the biggest host's
+    UNCRAWLED candidate set, and every row it ranks was already paid
+    for in the groupBy; the politeness cap then bounds the OUTPUT per
+    host. ``budget`` is a global TakeOrdered (O(n log k), no single-
+    partition sort of the full frontier).
+    """
+    from pyspark.sql import Window
+
+    seen = crawled.select(F.col(crawled.columns[0]).alias("url")).distinct()
+    cites = edges.select("src", F.col("dst").alias("url")).distinct()
+    cand = (
+        cites.join(seen, "url", "left_anti")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    host = host_fn(F.col("url")) if host_fn is not None else F.col("url")
+    w = Window.partitionBy("host").orderBy(
+        F.col("score").desc(), F.col("url").asc()
+    )
+    out = (
+        cand.withColumn("host", host)
+        .withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= per_host_cap)
+        .select("url", "host", "score", "host_rank")
+    )
+    if budget is not None:
+        out = out.orderBy(
+            F.col("score").desc(), F.col("url").asc()
+        ).limit(budget)
+    return out

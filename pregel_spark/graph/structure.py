@@ -373,3 +373,94 @@ def modularity(
             ).alias("contrib"),
         )
     )
+
+
+def refine_modularity(
+    edges: DataFrame, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """One synchronized Louvain/Leiden-style LOCAL-MOVE round: every
+    vertex simultaneously moves to the neighboring community with the
+    highest modularity gain (staying allowed), returning the new
+    ``(id, label)`` partition. The standard post-LPA refinement step —
+    LPA optimizes nothing, so moving against actual Q is how its
+    partitions are cleaned up.
+
+    Each gain is exact FOR A SOLO MOVE; when many vertices move in the
+    same synchronized round their interactions are unaccounted (the
+    price every distributed Louvain pays), so a round is NOT guaranteed
+    to raise Q — vertices simultaneously leaving a community can
+    strand each other. Hence ONE round per call: iterate at the
+    caller, scoring each round with :func:`modularity` (an O(#labels)
+    output — the guard is nearly free) and keeping the best partition
+    seen. On a locally-optimal partition the round is a no-op (strict
+    improvement + stay-bias), so guarded iteration terminates.
+
+    Engine-exact by construction: the gain of moving v (degree d) into
+    community B with k = |edges v->B| and community degree sum S'
+    (excluding v) is dQ = k/m - d*S'/(2m^2); comparing candidates only
+    needs the INTEGER score ``s = 2m*k - d*S'`` (dQ * 2m^2 > 0), so the
+    argmax is exact 64-bit arithmetic — no float ordering to diverge
+    between engines (fits in a long for m < ~2^31 undirected edges
+    even at d*S' extremes; at bigger m, scale both terms by m's common
+    factor offline). Tie-break: smallest label. A vertex whose best
+    score ties its current community's stays put (strict improvement
+    only), so the step is idempotent on a locally-optimal partition.
+
+    Scale: deg + community sums are two partial-agg passes; k is one
+    scatter hash join of ue against the label table + groupBy
+    (v, community) — the exact LPA superstep shape; argmax is
+    ``min(struct(-s, label))`` in the same aggregation (no window).
+    Nothing quadratic, no Python, no iteration inside.
+    """
+    lab = labels.select("id", F.col(label_col).alias("_lbl"))
+    ue = undirect(edges).select("src", "dst")
+    deg = _udeg(ue)
+    m_df = ue.agg((F.count(F.lit(1)) / 2).cast("long").alias("_m"))
+    sig = (
+        lab.join(deg, "id", "left_outer")
+        .groupBy("_lbl")
+        .agg(F.sum(F.coalesce("deg", F.lit(0))).alias("_sig"))
+    )
+    # k_vB: edges from v into each neighboring community B
+    k = (
+        ue.join(lab.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(F.col("src").alias("id"), F.col("_lbl").alias("_cand"))
+        .agg(F.count(F.lit(1)).alias("_k"))
+    )
+    # candidate set = neighbor communities ∪ own community (k=0 there
+    # unless v already has intra-community edges)
+    own = lab.select("id", F.col("_lbl").alias("_cand"))
+    cands = (
+        k.unionByName(own.withColumn("_k", F.lit(0)), allowMissingColumns=False)
+        .groupBy("id", "_cand")
+        .agg(F.max("_k").alias("_k"))
+    )
+    scored = (
+        cands.join(lab, "id")
+        .join(deg.withColumnRenamed("deg", "_d"), "id", "left_outer")
+        .withColumn("_d", F.coalesce("_d", F.lit(0)))
+        .join(sig.withColumnRenamed("_lbl", "_cand"), "_cand")
+        .withColumn(
+            "_sigx",
+            F.col("_sig")
+            - F.when(F.col("_cand") == F.col("_lbl"), F.col("_d")).otherwise(0),
+        )
+        .crossJoin(F.broadcast(m_df))
+        .withColumn(
+            "_s", 2 * F.col("_m") * F.col("_k") - F.col("_d") * F.col("_sigx")
+        )
+    )
+    # strict improvement: bias the CURRENT community's struct so ties
+    # (and the argmax tie-break ordering) favor staying put
+    pick = scored.groupBy("id").agg(
+        F.min(
+            F.struct(
+                (-F.col("_s")).alias("neg"),
+                F.when(F.col("_cand") == F.col("_lbl"), F.lit(0))
+                .otherwise(1)
+                .alias("stay"),
+                F.col("_cand").alias("cand"),
+            )
+        ).alias("best")
+    )
+    return pick.select("id", F.col("best.cand").alias(label_col))

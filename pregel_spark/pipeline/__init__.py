@@ -25,6 +25,7 @@ from .dedup import (
     incremental_exact,
     minhash_lsh_pairs,
     near_dup_clusters,
+    containment_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_pairs,
@@ -79,6 +80,7 @@ __all__ = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "near_dup_clusters",
+    "containment_pairs",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "simhash_pairs",

@@ -141,6 +141,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Directional shingle containment: rows ``(inner_id, outer_id,
+    containment)`` where ``containment = |S(inner) ∩ S(outer)| /
+    |S(inner)| >= threshold`` (inner != outer). Jaccard misses the
+    quote-inclusion / boilerplate-wrap case — a short doc fully
+    embedded in a long one has tiny Jaccard but containment 1.0 —
+    which is the dominant near-dup mode in webtext (syndicated
+    articles inside portal pages, quoted posts, licence preambles).
+
+    Same inverted-shingle-index candidate generation as
+    :func:`ngram_jaccard_pairs` (one unordered intersection count per
+    candidate pair, mirrored into both directions only at the final
+    filter), same ``max_shingle_df`` posting-list cutoff — so cost and
+    the 100 TB story are identical to the Jaccard path: never
+    all-pairs, bounded by sum over shingles of df². The cutoff's
+    effect (pairs sharing only stop-shingles undercount) is shared
+    with the Jaccard operator and replicated exactly by the oracle.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(k)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = sh.join(
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("sh"),
+        "sh",
+        "left_semi",
+    )
+    a = rare.select(F.col("sh"), F.col("id").alias("a"))
+    b = rare.select(F.col("sh"), F.col("id").alias("b"))
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    both = inter.select("a", "b", "inter").unionByName(
+        inter.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "inter"
+        )
+    )
+    return (
+        both.join(sizes.withColumnRenamed("id", "a"), "a")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.col("sz").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("a").alias("inner_id"),
+            F.col("b").alias("outer_id"),
+            "containment",
+        )
+    )
+
+
 # --------------------------- MinHash + LSH ---------------------------
 
 def minhash_signatures(

@@ -54,8 +54,10 @@ ALLOW = {
     "bm25": {"BroadcastNestedLoopJoin"},
     "tfidf": {"BroadcastNestedLoopJoin"},
     "unigram_lm": {"BroadcastNestedLoopJoin"},
-    # modularity re-injects the 1-row edge total m the same way
+    # modularity / its local-move refinement re-inject the 1-row edge
+    # total m the same way
     "modularity_lpa": {"BroadcastNestedLoopJoin"},
+    "refine_modularity": {"BroadcastNestedLoopJoin"},
 }
 RED = ("CartesianProduct", "BatchEvalPython")
 VECTOR = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -95,3 +95,39 @@ def test_incremental_components_no_delta_is_identity(spark):
         for r in incremental_components(spark, prior, empty).vertices.collect()
     }
     assert got == {r.id: r.component for r in prior.collect()}
+
+
+def test_crawl_frontier_scores_caps_and_budget(spark):
+    from pregel_spark.graph import crawl_frontier
+    from pyspark.sql import functions as F
+
+    # crawled pages a,b,c link into uncrawled u1..u4 on two hosts
+    edges = _df(
+        spark,
+        [("a", "u1"), ("b", "u1"), ("c", "u1"),     # u1: score 3
+         ("a", "u2"), ("b", "u2"),                  # u2: score 2
+         ("a", "u3"),                               # u3: score 1
+         ("c", "u4"), ("c", "u4"),                  # dup arc counts once
+         ("a", "b")],                               # b is crawled -> excluded
+    )
+    crawled = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    host = lambda c: F.substring(c, 1, 1)  # all of u1..u4 share host 'u'
+    got = {
+        r.url: (r.host, r.score, r.host_rank)
+        for r in crawl_frontier(edges, crawled, host_fn=host, per_host_cap=3).collect()
+    }
+    # tie at score 1 broken by url asc: u3 ranks 3, u4 dropped by cap=3
+    assert got == {"u1": ("u", 3, 1), "u2": ("u", 2, 2), "u3": ("u", 1, 3)}
+    # budget: global top-2
+    top = crawl_frontier(edges, crawled, host_fn=host, per_host_cap=4, budget=2)
+    assert sorted(r.url for r in top.collect()) == ["u1", "u2"]
+
+
+def test_crawl_frontier_default_host_is_identity(spark):
+    from pregel_spark.graph import crawl_frontier
+
+    edges = _df(spark, [("a", "u1"), ("b", "u1"), ("a", "u2")])
+    crawled = spark.createDataFrame([("a",), ("b",)], "id string")
+    rows = {r.url: r for r in crawl_frontier(edges, crawled).collect()}
+    assert rows["u1"].host == "u1" and rows["u1"].host_rank == 1
+    assert rows["u2"].host == "u2" and rows["u2"].host_rank == 1

@@ -518,3 +518,35 @@ def test_embedding_auto_routes_at_exact_limit(spark):
     above = plan_of(n_rows=8_001)        # one past -> LSH
     assert "NestedLoop" in at_limit or "CartesianProduct" in at_limit
     assert "NestedLoop" not in above and "CartesianProduct" not in above
+
+
+def test_containment_pairs_vs_python_oracle(docs, spark):
+    from pregel_spark.pipeline import containment_pairs
+
+    got = {
+        (r.inner_id, r.outer_id): r.containment
+        for r in containment_pairs(docs, threshold=0.3, k=3).collect()
+    }
+    want = {}
+    sh = {i: _shingles(t) for i, t, _ in DOCS if _shingles(t)}
+    for a, b in combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        for inner, outer in ((a, b), (b, a)):
+            c = inter / len(sh[inner])
+            if c >= 0.3:
+                want[(inner, outer)] = round(c, 6)
+    assert got == pytest.approx(want)
+
+
+def test_containment_catches_quote_inclusion(spark):
+    from pregel_spark.pipeline import containment_pairs
+
+    quoted = "alpha beta gamma delta epsilon zeta"
+    wrapper = "intro words here " + quoted + " outro trailing words end"
+    d = spark.createDataFrame(
+        [(1, quoted), (2, wrapper)], "doc_id long, text string"
+    )
+    rows = containment_pairs(d, threshold=0.9, k=3).collect()
+    # doc 1's shingles all appear inside doc 2 -> containment 1.0;
+    # Jaccard would be ~4/17 and miss it entirely
+    assert [(r.inner_id, r.outer_id, r.containment) for r in rows] == [(1, 2, 1.0)]

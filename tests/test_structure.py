@@ -270,3 +270,56 @@ def test_modularity_ignores_duplicate_and_self_edges(spark):
     assert rows["1"].intra_edges == 1 and rows["1"].deg_sum == 3
     assert rows["2"].intra_edges == 0 and rows["2"].deg_sum == 1
     assert rows["1"].contrib == pytest.approx(0.5 - (3.0 / 4.0) ** 2)
+
+
+def test_refine_modularity_pulls_mislabeled_vertex_home(spark):
+    from pregel_spark.graph import modularity, refine_modularity
+
+    e = edges_df(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+    )
+    bad = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "R"), ("x", "R"), ("y", "R"), ("z", "R")],
+        "id string, label string",
+    )
+    got = {r.id: r.label for r in refine_modularity(e, bad).collect()}
+    # c: gain(L) = 2m*k - d*sig' = 28-12 = 16 > gain(stay R) = 14-21 = -7
+    assert got["c"] == "L"
+    assert got == {"a": "L", "b": "L", "c": "L", "x": "R", "y": "R", "z": "R"}
+    q_bad = sum(r.contrib for r in modularity(e, bad).collect())
+    q_ref = sum(
+        r.contrib
+        for r in modularity(
+            e, spark.createDataFrame(got.items(), "id string, label string")
+        ).collect()
+    )
+    assert q_ref > q_bad
+
+
+def test_refine_modularity_is_idempotent_on_optimum(spark):
+    from pregel_spark.graph import refine_modularity
+
+    e = edges_df(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+    )
+    opt = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "L"), ("x", "R"), ("y", "R"), ("z", "R")],
+        "id string, label string",
+    )
+    got = {r.id: r.label for r in refine_modularity(e, opt).collect()}
+    assert got == {r.id: r.label for r in opt.collect()}
+
+
+def test_refine_modularity_isolated_vertex_keeps_label(spark):
+    from pregel_spark.graph import refine_modularity
+
+    e = edges_df(spark, [("a", "b")])
+    labels = spark.createDataFrame(
+        [("a", "1"), ("b", "1"), ("lonely", "9")], "id string, label string"
+    )
+    got = {r.id: r.label for r in refine_modularity(e, labels).collect()}
+    assert got["lonely"] == "9" and len(got) == 3
