@@ -71,11 +71,28 @@ HEADLINE = R3_CORE + [
     "stratified_sample",
     "mis",
     "curate",
+    # latest data-scale additions: k-means / Boruvka / link prediction /
+    # incremental CC / frontier scheduling / containment / modularity /
+    # line-level text ops — everything that scans an SF-scaled table
+    "kmeans_k4",
+    "mst_boruvka",
+    "adamic_adar",
+    "jaccard_pairs",
+    "cc_incremental",
+    "crawl_frontier",
+    "dedup_containment",
+    "modularity_lpa",
+    "refine_modularity",
+    "line_dedup",
+    "pack_sequences",
+    "dedup_incremental",
+    "top_ngrams",
 ]
-# scc_fixture / bowtie_fixture stay correctness-only: they run on the
-# constant ~60-vertex cyclic fixture, so their wall time is ~100 tiny
-# supersteps of fixed job overhead (measured 30s/44s at sf0.1) — pure
-# driver-overhead noise that says nothing about data-plane throughput
+# scc_fixture / bowtie_fixture / katz_k4 / topo_levels / scc_condense
+# stay correctness-only: they run on the constant ~60-vertex cyclic
+# fixture, so their wall time is ~100 tiny supersteps of fixed job
+# overhead (measured 30s/44s at sf0.1) — pure driver-overhead noise
+# that says nothing about data-plane throughput
 
 
 def force(df):

@@ -125,9 +125,11 @@ def crawl_frontier(
     same order. Reference scope: the loader/ingestion side
     (`pregel/loader.lua`) consumes exactly such batches.
 
-    ``host_fn``: Column -> Column grouping a page id into its
-    politeness domain (same contract as ``contract_graph``'s
-    ``group_fn``); default = each page its own host (cap vacuous).
+    ``crawled``: one-column DataFrame (any column name — the FIRST
+    column is taken) of already-fetched page ids. ``host_fn``: Column
+    -> Column grouping a page id into its politeness domain (same
+    contract as ``contract_graph``'s ``group_fn``); default = each
+    page its own host (cap vacuous).
 
     Scale: one distinct pass over E, one left-anti hash join against
     the crawled set (at 10^12 pages ship the crawled side as

@@ -163,3 +163,31 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def dedup_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming-ingest exact dedup: drop rows whose key was already
+    seen within the watermark horizon — the streaming analog of
+    ``pipeline.dedup.exact_dedup`` (dedup a document/event feed AS it
+    lands, e.g. on the content fingerprint ``incremental_exact``
+    screens with in batch).
+
+    Plain ``dropDuplicates`` on a stream keeps per-key state FOREVER —
+    unusable on an infinite feed; ``dropDuplicatesWithinWatermark``
+    bounds the state store to the horizon: a duplicate arriving within
+    ``watermark`` of the first sighting is dropped, one arriving after
+    the state expired is admitted again (the standard at-least-once
+    ingest contract; exactly-once needs the downstream sink's own
+    idempotence, e.g. the fingerprint anti-join).
+
+    First arrival wins. State is O(keys seen per horizon), sharded by
+    key hash across executors like any stateful op.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

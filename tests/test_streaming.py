@@ -73,3 +73,28 @@ def test_sessionize_closed_sessions(spark, tmp_path):
         s, e, n, tv = got[u]
         assert s == T0 and e == T0 + dt.timedelta(minutes=20)
         assert n == 3 and tv == pytest.approx(3.0)
+
+
+def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    from pregel_spark.streaming import dedup_stream
+
+    rows = [
+        (1, T0, 7, "click", 1.0, "{}"),
+        (1, T0 + dt.timedelta(minutes=5), 7, "click", 1.0, "{}"),   # dup in horizon
+        (2, T0 + dt.timedelta(minutes=1), 7, "view", 2.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=2), 8, "view", 2.5, "{}"),    # dup in horizon
+        (3, T0 + dt.timedelta(minutes=3), 9, "click", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    path = str(tmp_path / "dup_stream")
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+
+    stream = read_event_stream(spark, path)
+    run_stream_to_memory(
+        dedup_stream(stream, watermark="2 hours"), "dedup_sink"
+    )
+    got = spark.table("dedup_sink").collect()
+    assert sorted(r.event_id for r in got) == [1, 2, 3]
+    # one row per key survived (first arrival; arrival order within one
+    # availableNow batch is engine-chosen, so assert uniqueness not which)
+    assert len(got) == len({r.event_id for r in got})
