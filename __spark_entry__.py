@@ -758,6 +758,21 @@ def q_katz_k4(spark, sf_dir):
     ).select("id", F.round("katz", 6).alias("katz"))
 
 
+def q_anf_r3(spark, sf_dir):
+    """ANF neighborhood function (3 rounds, k=4 FM sketches) over the
+    symmetrized link graph: exact BIGINT sketch statistic per round,
+    one IEEE division for the reach estimate. The oracle replays the
+    identical bit algebra (md5-derived rho, bit_or recurrence,
+    lowest-zero-bit) unrolled in DuckDB."""
+    from pregel_spark.graph import anf
+
+    e = _edges(spark, sf_dir).select("src", "dst")
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return anf(spark, sym, rounds=3, k=4, cap=24, seed=0).select(
+        "round", "sum_pow2b", F.round("reach_est", 4).alias("reach_est")
+    )
+
+
 def q_mst(spark, sf_dir):
     """Multi-round Boruvka over the re-weighted customer circulant;
     the oracle derives the same forest from the fixture's structure."""
@@ -1245,6 +1260,67 @@ od AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src),
 r0 AS (SELECT id, 1.0 / nn AS rank FROM v CROSS JOIN n),{",".join(steps)}
 SELECT id, {"round(rank, 6)" if round_final else "rank"} AS rank FROM r{k}
 """
+def _anf_unrolled_sql(
+    rounds: int, edges_sql: str, k: int = 4, cap: int = 24, symmetrize: bool = True
+) -> str:
+    """The ANF sketch recurrence (graph/anf.py) unrolled in DuckDB:
+    identical md5-derived trailing-zero init, per-round bit_or
+    gather, lowest-zero-bit statistic — all two's-complement integer
+    ops both engines share bit-for-bit. One CTE pair (gather, OR-in)
+    per round, one stat SELECT per round, UNION ALL'd."""
+    from pregel_spark.pipeline.hashing import duckdb_seeded_hash60
+
+    sc = [f"s{i}" for i in range(k)]
+    init = ", ".join(
+        f"(CAST(1 AS BIGINT) << least(bit_count(((h{i}) & -(h{i})) - 1), {cap}))"
+        f" AS {c}"
+        for i, c in enumerate(sc)
+    )
+    hashes = ", ".join(
+        f"{duckdb_seeded_hash60(i, 'id')} AS h{i}" for i in range(k)
+    )
+    lowz = " + ".join(
+        f"(CAST(1 AS BIGINT) << bit_count(((~({c})) & -(~({c}))) - 1))"
+        for c in sc
+    )
+    sym = (
+        "SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0"
+        if symmetrize
+        else "SELECT src, dst FROM e0"
+    )
+    steps, stats = [], []
+    stats.append(
+        f"SELECT 0 AS round, CAST(sum({lowz}) AS BIGINT) AS sum_pow2b FROM sk0"
+    )
+    for t in range(1, rounds + 1):
+        ors = ", ".join(f"bit_or(p.{c}) AS m{i}" for i, c in enumerate(sc))
+        mix = ", ".join(
+            f"(sk{t - 1}.{c} | COALESCE(m{t}.m{i}, 0)) AS {c}"
+            for i, c in enumerate(sc)
+        )
+        steps.append(f"""
+m{t} AS (SELECT e.src AS id, {ors}
+        FROM e JOIN sk{t - 1} p ON p.id = e.dst GROUP BY e.src),
+sk{t} AS (SELECT sk{t - 1}.id, {mix}
+        FROM sk{t - 1} LEFT JOIN m{t} ON m{t}.id = sk{t - 1}.id)""")
+        stats.append(
+            f"SELECT {t} AS round, CAST(sum({lowz}) AS BIGINT)"
+            f" AS sum_pow2b FROM sk{t}"
+        )
+    union = " UNION ALL ".join(stats)
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM ({sym}) su),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e
+                               UNION ALL SELECT dst AS id FROM e) vu),
+h AS (SELECT id, {hashes} FROM v),
+sk0 AS (SELECT id, {init} FROM h),{",".join(steps)}
+SELECT round, sum_pow2b,
+       round(CAST(sum_pow2b AS DOUBLE) / ({k} * 0.77351), 4) AS reach_est
+FROM ({union}) u ORDER BY round
+"""
+
+
 def _ppr_unrolled_sql(k: int, edges_sql: str) -> str:
     """k supersteps of personalized PageRank: the (1-d) restart mass
     and the dangling mass both return (uniformly) to the seed set —
@@ -1965,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "jaccard_pairs": q_jaccard,
         "katz_k4": q_katz_k4,
+        "anf_r3": q_anf_r3,
         "mst_boruvka": q_mst,
         "kmeans_k4": q_kmeans,
         "mirror_exact": q_mirror_exact,
@@ -2002,6 +2079,7 @@ SELECT ids.id,
 FROM ids LEFT JOIN out_d ON ids.id = out_d.id LEFT JOIN in_d ON ids.id = in_d.id
 """,
         "pagerank_k3": _pagerank_unrolled_sql(3, EDGES_SQL),
+        "anf_r3": _anf_unrolled_sql(3, EDGES_SQL),
         "pagerank_k8": _pagerank_unrolled_sql(8, EDGES_SQL),
         "ppr_k4": _ppr_unrolled_sql(4, EDGES_SQL),
         "spam_mass_k4": _spam_mass_unrolled_sql(4, EDGES_SQL),

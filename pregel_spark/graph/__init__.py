@@ -43,6 +43,7 @@ from .structure import (
     reciprocity,
     refine_modularity,
 )
+from .anf import anf, effective_diameter
 from .katz import katz_centrality
 from .mst import minimum_spanning_forest
 from .walks import random_walks
@@ -94,6 +95,8 @@ __all__ = [
     "harmonic_centrality",
     "adamic_adar",
     "jaccard_pairs",
+    "anf",
+    "effective_diameter",
     "katz_centrality",
     "minimum_spanning_forest",
     "clustering_coefficient",
