@@ -1098,6 +1098,20 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(chunk_lines(docs, n_tokens=10), docs, sep=" ")
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """Host-level boilerplate removal over the same 10-token
+    pseudo-lines: a line repeating in >= max(2, ceil(5% of a source's
+    docs)) documents of that source is dropped from EVERY document
+    (unlike line_dedup's keep-the-first)."""
+    from pregel_spark.pipeline import chunk_lines, strip_boilerplate
+
+    docs = _docs(spark, sf_dir)
+    return strip_boilerplate(
+        chunk_lines(docs, n_tokens=10), docs,
+        frac=0.05, min_docs=2, host_col="source", sep=" ",
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     from pregel_spark.pipeline import pack_sequences
 
@@ -2023,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "tfidf": q_tfidf,
         "line_dedup": q_line_dedup,
+        "boilerplate_strip": q_boilerplate_strip,
         "pack_sequences": q_pack_sequences,
         "dedup_incremental": q_dedup_incremental,
         "top_ngrams": q_top_ngrams,
@@ -2720,6 +2735,38 @@ reb AS (
     SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text,
            count(*) AS k
     FROM rk WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(reb.text, '') AS text,
+       CAST(COALESCE(reb.k, 0) AS BIGINT) AS n_lines_kept,
+       CAST(COALESCE(tot.n, 0) - COALESCE(reb.k, 0) AS BIGINT) AS n_lines_dropped
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+""",
+        "boilerplate_strip": r"""
+WITH t AS (
+    SELECT doc_id, source,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS w
+    FROM documents),
+ch AS (
+    SELECT doc_id, source,
+           unnest(range(1, CAST(ceil(len(w) / 10.0) AS INT) + 1)) AS pos,
+           unnest([array_to_string(w[(i-1)*10+1:i*10], ' ')
+                   for i in range(1, CAST(ceil(len(w) / 10.0) AS INT) + 1)]) AS line
+    FROM t WHERE len(w) > 0),
+hd AS (SELECT source, count(DISTINCT doc_id) AS nd FROM documents GROUP BY source),
+lc AS (SELECT source, line, count(DISTINCT doc_id) AS c
+       FROM ch GROUP BY source, line),
+bp AS (SELECT lc.source, lc.line
+       FROM lc JOIN hd USING (source)
+       WHERE lc.c >= greatest(2, CAST(ceil(0.05 * hd.nd) AS BIGINT))),
+kept AS (SELECT ch.doc_id, ch.pos, ch.line
+         FROM ch LEFT JOIN bp
+           ON bp.source = ch.source AND bp.line = ch.line
+         WHERE bp.line IS NULL),
+reb AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text,
+               count(*) AS k
+        FROM kept GROUP BY doc_id),
 tot AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY doc_id)
 SELECT d.doc_id,
        COALESCE(reb.text, '') AS text,

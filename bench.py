@@ -88,6 +88,7 @@ HEADLINE = R3_CORE + [
     "dedup_incremental",
     "top_ngrams",
     "anf_r3",
+    "boilerplate_strip",
 ]
 # scc_fixture / bowtie_fixture / katz_k4 / topo_levels / scc_condense
 # stay correctness-only: they run on the constant ~60-vertex cyclic

@@ -52,7 +52,14 @@ from .simsearch import (
     write_ivf_index,
 )
 from .cluster import kmeans_assign, kmeans_fit
-from .lines import chunk_lines, line_dedup, pack_sequences, split_lines
+from .lines import (
+    boilerplate_lines,
+    chunk_lines,
+    line_dedup,
+    pack_sequences,
+    split_lines,
+    strip_boilerplate,
+)
 from .multimodal import (
     decode_media_batch,
     media_feature_rows,
@@ -61,9 +68,11 @@ from .multimodal import (
 )
 
 __all__ = [
+    "boilerplate_lines",
     "chunk_lines",
     "incremental_exact",
     "line_dedup",
+    "strip_boilerplate",
     "pack_sequences",
     "split_lines",
     "top_ngrams",

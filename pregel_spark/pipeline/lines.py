@@ -115,6 +115,21 @@ def line_dedup(
         )
         .drop("_first")
     )
+    return _rebuild_docs(kept, lines, docs, id_col, text_col, sep)
+
+
+def _rebuild_docs(
+    kept: DataFrame,
+    lines: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str,
+) -> DataFrame:
+    """(id, text, n_lines_kept, n_lines_dropped) from surviving lines —
+    shared tail of every line-filtering operator: one groupBy(doc)
+    rebuild + one groupBy(doc) total, left-joined onto ALL input docs
+    (documents losing every line come back with text='')."""
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -140,6 +155,87 @@ def line_dedup(
             ).alias("n_lines_dropped"),
         )
     )
+
+
+def boilerplate_lines(
+    lines: DataFrame,
+    docs: DataFrame,
+    frac: float = 0.3,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+) -> DataFrame:
+    """Host-level boilerplate census (CCNet/RefinedWeb-style): a line is
+    boilerplate for a host when it appears in at least
+    ``max(min_docs, ceil(frac · docs_of_host))`` DISTINCT documents of
+    that host — nav bars, cookie banners, footers repeat across most of
+    a site's pages while staying rare globally, which is exactly why
+    per-host normalization beats the global census ``line_dedup`` runs.
+
+    Returns ``(host, line, n_docs, host_docs)`` for qualifying lines.
+
+    Scale: the (host, line, doc) triples dedupe in ONE shuffle whose
+    map-side partial collapses each site's hot lines early; the
+    per-host doc totals are a hosts-sized table (≪ docs) joined on
+    ``host``. No windows, no Python.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    hosted = lines.join(docs.select(id_col, host_col), id_col)
+    per_line = (
+        hosted.select(host_col, "line", id_col)
+        .distinct()
+        .groupBy(host_col, "line")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    host_docs = docs.groupBy(host_col).agg(
+        F.countDistinct(id_col).cast("long").alias("host_docs")
+    )
+    thresh = F.greatest(
+        F.lit(min_docs).cast("long"),
+        F.ceil(F.lit(frac) * F.col("host_docs")).cast("long"),
+    )
+    return (
+        per_line.join(host_docs, host_col)
+        .filter(F.col("n_docs") >= thresh)
+        .select(
+            F.col(host_col).alias("host"), "line", "n_docs", "host_docs"
+        )
+    )
+
+
+def strip_boilerplate(
+    lines: DataFrame,
+    docs: DataFrame,
+    frac: float = 0.3,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Remove each host's boilerplate lines (``boilerplate_lines``) from
+    its documents and rebuild texts in line order. Returns one row per
+    input document: ``(id, text, n_lines_kept, n_lines_dropped)``.
+
+    Unlike ``line_dedup`` (which KEEPS the global first occurrence),
+    boilerplate is dropped from EVERY document — a cookie banner's
+    first sighting is as worthless as its millionth.
+
+    Scale: the boilerplate table is (hosts × frequent lines) — orders
+    of magnitude smaller than the corpus; at cluster scale hint it
+    broadcast for an exchange-free anti-join (left as a hash anti-join
+    here so Spark's AQE picks broadcast when it fits).
+    """
+    bp = boilerplate_lines(
+        lines, docs, frac=frac, min_docs=min_docs,
+        id_col=id_col, host_col=host_col,
+    ).select(F.col("host").alias(host_col), "line")
+    hosted = lines.join(docs.select(id_col, host_col), id_col)
+    kept = hosted.join(bp, [host_col, "line"], "left_anti").drop(host_col)
+    return _rebuild_docs(kept, lines, docs, id_col, text_col, sep)
 
 
 def pack_sequences(

@@ -162,3 +162,78 @@ def test_top_ngrams_counts_and_tiebreak(spark):
         ("b a", 1, 1),
         ("c d", 1, 1),
     ]
+
+
+# -------------------------- boilerplate ------------------------------
+
+def hdocs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_boilerplate_lines_threshold(spark):
+    from pregel_spark.pipeline import boilerplate_lines
+
+    # host A: 4 docs, "nav bar" in 3 of them (75%); "rare" in 1
+    # host B: 2 docs, "nav bar" in 1 of them (50%, but min_docs=2 blocks)
+    docs = hdocs_df(spark, [
+        (1, "nav bar\nbody one", "A"),
+        (2, "nav bar\nbody two", "A"),
+        (3, "nav bar\nrare", "A"),
+        (4, "body four", "A"),
+        (5, "nav bar\nbeta", "B"),
+        (6, "beta2", "B"),
+    ])
+    lines = split_lines(docs)
+    got = {
+        (r.host, r.line): (r.n_docs, r.host_docs)
+        for r in boilerplate_lines(lines, docs, frac=0.6, min_docs=2).collect()
+    }
+    assert got == {("A", "nav bar"): (3, 4)}
+    # lowering frac pulls in nothing new on A (ceil(0.25*4)=1 < min_docs)
+    got2 = {
+        (r.host, r.line)
+        for r in boilerplate_lines(lines, docs, frac=0.25, min_docs=2).collect()
+    }
+    assert got2 == {("A", "nav bar")}
+
+
+def test_strip_boilerplate_drops_every_occurrence(spark):
+    from pregel_spark.pipeline import strip_boilerplate
+
+    docs = hdocs_df(spark, [
+        (1, "nav\nalpha\nnav", "A"),   # repeated within one doc: both go
+        (2, "nav\nbeta", "A"),
+        (3, "gamma", "A"),
+        (4, "nav", "B"),               # host B: nav is NOT boilerplate there
+    ])
+    lines = split_lines(docs)
+    out = {
+        r.doc_id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+        for r in strip_boilerplate(
+            lines, docs, frac=0.5, min_docs=2, sep="\n"
+        ).collect()
+    }
+    assert out[1] == ("alpha", 1, 2)
+    assert out[2] == ("beta", 1, 1)
+    assert out[3] == ("gamma", 1, 0)
+    assert out[4] == ("nav", 1, 0)    # survives: B has only 1 doc with it
+    assert len(out) == 4
+
+
+def test_strip_boilerplate_partition_invariant(spark):
+    from pregel_spark.pipeline import strip_boilerplate
+
+    docs = hdocs_df(spark, [
+        (i, f"header\nuniq {i}\nfooter" if i % 2 else f"uniq {i}", "H")
+        for i in range(1, 21)
+    ])
+    a = strip_boilerplate(split_lines(docs), docs, frac=0.3, sep="\n")
+    b = strip_boilerplate(
+        split_lines(docs.repartition(7)), docs.repartition(3), frac=0.3, sep="\n"
+    )
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    by_id = {t[0]: t for t in ra}
+    assert by_id[1][1] == "uniq 1" and by_id[1][3] == 2
+    assert by_id[2][1] == "uniq 2" and by_id[2][3] == 0
