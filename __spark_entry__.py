@@ -1098,6 +1098,32 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(chunk_lines(docs, n_tokens=10), docs, sep=" ")
 
 
+def q_sketch_count_min(spark, sf_dir):
+    """Count-Min sketch (4x256) of the corpus token stream: every
+    counter an exact BIGINT the oracle rebuilds from the same md5
+    bucket hashing."""
+    from pregel_spark.pipeline import count_min
+    from pregel_spark.pipeline.dedup import tokens_col
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens_col("text")).alias("token")
+    )
+    return count_min(toks, width=256, depth=4, seed=0)
+
+
+def q_sketch_hll(spark, sf_dir):
+    """HLL register table (b=10) of the distinct corpus tokens —
+    integer registers only; the float estimate stays driver-side
+    (pipeline.hll_estimate)."""
+    from pregel_spark.pipeline import hll_registers
+    from pregel_spark.pipeline.dedup import tokens_col
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens_col("text")).alias("token")
+    )
+    return hll_registers(toks, b=10, seed=0)
+
+
 def q_boilerplate_strip(spark, sf_dir):
     """Host-level boilerplate removal over the same 10-token
     pseudo-lines: a line repeating in >= max(2, ceil(5% of a source's
@@ -2038,6 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "line_dedup": q_line_dedup,
         "boilerplate_strip": q_boilerplate_strip,
+        "sketch_count_min": q_sketch_count_min,
+        "sketch_hll": q_sketch_hll,
         "pack_sequences": q_pack_sequences,
         "dedup_incremental": q_dedup_incremental,
         "top_ngrams": q_top_ngrams,
@@ -2741,6 +2769,29 @@ SELECT d.doc_id,
        CAST(COALESCE(reb.k, 0) AS BIGINT) AS n_lines_kept,
        CAST(COALESCE(tot.n, 0) - COALESCE(reb.k, 0) AS BIGINT) AS n_lines_dropped
 FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+""",
+        "sketch_count_min": r"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents WHERE length(trim(text)) > 0),
+cells AS (
+    SELECT d.d AS depth,
+           CAST((('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || token), 1, 15))::UBIGINT::BIGINT)
+                % 256 AS INTEGER) AS bucket
+    FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) d(d))
+SELECT CAST(depth AS INTEGER) AS depth, bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY depth, bucket
+""",
+        "sketch_hll": r"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents WHERE length(trim(text)) > 0),
+h AS (SELECT (('0x' || substr(md5('0:' || token), 1, 15))::UBIGINT::BIGINT) AS h
+      FROM toks)
+SELECT CAST(h % 1024 AS INTEGER) AS bucket,
+       CAST(max(least(bit_count(((h >> 10) & -(h >> 10)) - 1), 50) + 1) AS INTEGER) AS r
+FROM h GROUP BY bucket
 """,
         "boilerplate_strip": r"""
 WITH t AS (

@@ -89,6 +89,8 @@ HEADLINE = R3_CORE + [
     "top_ngrams",
     "anf_r3",
     "boilerplate_strip",
+    "sketch_count_min",
+    "sketch_hll",
 ]
 # scc_fixture / bowtie_fixture / katz_k4 / topo_levels / scc_condense
 # stay correctness-only: they run on the constant ~60-vertex cyclic

@@ -52,6 +52,7 @@ from .simsearch import (
     write_ivf_index,
 )
 from .cluster import kmeans_assign, kmeans_fit
+from .sketch import cm_estimate, count_min, hll_estimate, hll_registers
 from .lines import (
     boilerplate_lines,
     chunk_lines,
@@ -71,6 +72,10 @@ __all__ = [
     "boilerplate_lines",
     "chunk_lines",
     "incremental_exact",
+    "cm_estimate",
+    "count_min",
+    "hll_estimate",
+    "hll_registers",
     "line_dedup",
     "strip_boilerplate",
     "pack_sequences",
