@@ -1033,6 +1033,36 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: raw = all documents, target = the
+    deterministic 10% hash sample (seed 1) — the 'curated slice' a
+    real pipeline would tilt toward; hashed 1+2-gram features into
+    1024 buckets. Round-6 absorbs the documented 1-ulp ln gap."""
+    from pregel_spark.pipeline import (
+        importance_weights,
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    target = stratified_sample(docs, {}, default_rate=0.1, seed=1)
+    r = importance_weights(docs, target, buckets=1024, ns=(1, 2), seed=0)
+    return r.select(
+        "doc_id", "n_feats", F.round("logratio", 6).alias("logratio")
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means topic clusters (k=4, 2 Lloyd rounds, same
+    deterministic recipe as kmeans_k4), then drop every vector with a
+    smaller-id same-cluster neighbor at cosine >= 0.4 (testdata
+    embeddings peak near 0.51, so 0.4 exercises real drops)."""
+    from pregel_spark.pipeline import semantic_dedup
+
+    return semantic_dedup(
+        spark, _embs(spark, sf_dir), k=4, iters=2, threshold=0.4
+    )
+
+
 def q_repetition(spark, sf_dir):
     from pregel_spark.pipeline import repetition_stats
 
@@ -1829,7 +1859,7 @@ SELECT a, b, jaccard FROM j WHERE jaccard >= {threshold}
 """
 
 
-def _kmeans_sql(k=4, iters=2) -> str:
+def _kmeans_sql(k=4, iters=2, tail=None) -> str:
     """Unrolled Lloyd k-means mirroring pipeline.cluster.kmeans_assign:
     hash60-ordered seed pick, per-iteration argmin assignment (ties to
     the smaller cluster id) and per-dim mean update with empty-cluster
@@ -1871,10 +1901,68 @@ c{it} AS (
   SELECT c.cl, coalesce(u.cv, c.cv) AS cv
   FROM c{it - 1} c LEFT JOIN u{it} u ON c.cl = u.cl)""")
     parts.append(assign("fin", f"c{iters}"))
-    return (
-        ",".join(parts)
-        + "\nSELECT id AS vec_id, CAST(cl AS INTEGER) AS cluster FROM fin"
+    if tail is None:
+        tail = "\nSELECT id AS vec_id, CAST(cl AS INTEGER) AS cluster FROM fin"
+    return ",".join(parts) + tail
+
+
+def _semantic_dedup_sql(k=4, iters=2, threshold=0.4) -> str:
+    """SemDeDup oracle: the identical unrolled k-means CTE chain, then
+    within-cluster pairs at round(cosine, 6) >= threshold mark the
+    larger id dropped (same rounded-compare guard as dedup_embedding)."""
+    return _kmeans_sql(
+        k=k,
+        iters=iters,
+        tail=f""",
+dropped AS (
+  SELECT DISTINCT y.id AS id
+  FROM fin x JOIN fin y ON x.cl = y.cl AND x.id < y.id
+  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold})
+SELECT f.id AS vec_id, CAST(f.cl AS INTEGER) AS cluster,
+       d.id IS NULL AS keep
+FROM fin f LEFT JOIN dropped d USING (id)""",
     )
+
+
+def _dsir_sql(buckets=1024, seed=0, target_seed=1, target_ppm=100_000) -> str:
+    """DSIR oracle: hashed 1+2-gram census for raw (all documents) and
+    target (the seeded 10% hash sample), add-1-smoothed bucket
+    log-ratios as ONE ln of an exactly-mirrored product ratio, per-doc
+    instance-weighted sum rounded at 6."""
+    h = _H60.format(x=f"('{seed}:' || g)")
+    th = _H60.format(x=f"('{target_seed}:' || doc_id)")
+    tpred = f"(({th}) % 1000000) < {target_ppm}"
+    return rf"""
+WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE string_split_regex(trim(text), '\s+') END AS w
+           FROM documents),
+g1 AS (SELECT doc_id, unnest(w) AS g FROM t),
+g2 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i + 1]
+                              for i in range(1, len(w))]) AS g
+       FROM t WHERE len(w) >= 2),
+feats AS (SELECT doc_id, ({h}) % {buckets} AS b
+          FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)),
+tfeats AS (SELECT f.b FROM feats f JOIN documents d USING (doc_id)
+           WHERE {tpred}),
+cr AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+ct AS (SELECT b, count(*) AS ct FROM tfeats GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM feats) AS tr,
+               (SELECT count(*) FROM tfeats) AS tt),
+lr AS (
+  SELECT cr.b,
+         ln(((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0)
+             * (CAST(tot.tr AS DOUBLE) + 1.0 * {buckets}))
+            / ((CAST(cr.cr AS DOUBLE) + 1.0)
+               * (CAST(tot.tt AS DOUBLE) + 1.0 * {buckets}))) AS lr
+  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
+db AS (SELECT doc_id, b, count(*) AS n FROM feats GROUP BY doc_id, b),
+sc AS (SELECT doc_id, sum(n) AS n_feats, sum(n * lr) AS logratio
+       FROM db JOIN lr USING (b) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+       round(COALESCE(sc.logratio, 0.0), 6) AS logratio
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
 
 
 def _simhash_sql(max_hamming=16) -> str:
@@ -2058,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "sessions": q_sessions,
         "stratified_sample": q_stratified_sample,
+        "dsir_weights": q_dsir_weights,
         "repetition": q_repetition,
         "decontam": q_decontam,
         "bm25": q_bm25,
@@ -2087,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_r3": q_anf_r3,
         "mst_boruvka": q_mst,
         "kmeans_k4": q_kmeans,
+        "semantic_dedup": q_semantic_dedup,
         "mirror_exact": q_mirror_exact,
         "mirror_pairs": q_mirror_pairs,
         "pricing_summary": _sql_query(PRICING_SQL),
@@ -3155,6 +3245,8 @@ ranked AS (
 SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
 """,
         "kmeans_k4": _kmeans_sql(k=4, iters=2),
+        "semantic_dedup": _semantic_dedup_sql(k=4, iters=2, threshold=0.4),
+        "dsir_weights": _dsir_sql(buckets=1024, seed=0, target_seed=1),
         "pricing_summary": PRICING_SQL,
         "top_customers": TOP_CUSTOMERS_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,

@@ -91,6 +91,8 @@ HEADLINE = R3_CORE + [
     "boilerplate_strip",
     "sketch_count_min",
     "sketch_hll",
+    "dsir_weights",
+    "semantic_dedup",
 ]
 # scc_fixture / bowtie_fixture / katz_k4 / topo_levels / scc_condense
 # stay correctness-only: they run on the constant ~60-vertex cyclic

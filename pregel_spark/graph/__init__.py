@@ -43,7 +43,7 @@ from .structure import (
     reciprocity,
     refine_modularity,
 )
-from .anf import anf, effective_diameter
+from .anf import anf, anf_effective_diameter
 from .katz import katz_centrality
 from .mst import minimum_spanning_forest
 from .walks import random_walks
@@ -96,7 +96,7 @@ __all__ = [
     "adamic_adar",
     "jaccard_pairs",
     "anf",
-    "effective_diameter",
+    "anf_effective_diameter",
     "katz_centrality",
     "minimum_spanning_forest",
     "clustering_coefficient",

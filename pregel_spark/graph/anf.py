@@ -170,7 +170,7 @@ def _round_stat(sk: DataFrame, t: int, scols: list[str]) -> Row:
     )
 
 
-def effective_diameter(nf: DataFrame, q: float = 0.9) -> int:
+def anf_effective_diameter(nf: DataFrame, q: float = 0.9) -> int:
     """Smallest t with ``N(t) ≥ q · N(t_max)`` from an ``anf`` result.
 
     Collects the (rounds+1)-row table driver-side — the input is

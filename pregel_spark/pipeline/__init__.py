@@ -33,6 +33,8 @@ from .dedup import (
 from .curation import (
     curate_corpus,
     duckdb_stratified_sample_pred,
+    importance_weights,
+    resample_top_frac,
     stratified_sample,
     stratified_sample_pred,
 )
@@ -51,7 +53,7 @@ from .simsearch import (
     ivf_topk_indexed,
     write_ivf_index,
 )
-from .cluster import kmeans_assign, kmeans_fit
+from .cluster import kmeans_assign, kmeans_fit, semantic_dedup
 from .sketch import cm_estimate, count_min, hll_estimate, hll_registers
 from .lines import (
     boilerplate_lines,
@@ -100,6 +102,9 @@ __all__ = [
     "simhash_pairs",
     "contamination_overlap",
     "curate_corpus",
+    "importance_weights",
+    "resample_top_frac",
+    "semantic_dedup",
     "stratified_sample",
     "stratified_sample_pred",
     "duckdb_stratified_sample_pred",

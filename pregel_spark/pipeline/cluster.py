@@ -127,3 +127,90 @@ def kmeans_assign(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).filter(F.col("v").isNotNull())
     return pts.select("id", _assign_col(F.col("v"), centroids).alias("cluster"))
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space with k-means, then inside each cluster drop every
+    vector that has a same-cluster neighbor with cosine >= threshold
+    and a smaller id — i.e. keep one greedy-by-id representative per
+    epsilon-ball. Clustering first is the whole trick: the quadratic
+    pair search runs within clusters only (sum n_c^2 / 2, not n^2 / 2),
+    and at scale k grows with the corpus so n_c stays bounded (the
+    paper uses ~sqrt-n clusters; for very large clusters compose with
+    ``dedup.embedding_near_dup_pairs(mode='lsh')`` per cluster
+    instead of the exact join).
+
+    Returns (vec_id, cluster, keep). Deterministic end to end: the
+    k-means init/rounds are the engine-portable ``kmeans_fit`` recipe,
+    the keep rule compares round(cosine, 6) (same guard as
+    ``dedup_embedding``'s oracle — both engines compare the rounded
+    value, so a 1-ulp dot-product gap cannot flip a verdict), and the
+    keeper choice is min-id, not partition order.
+
+    Scale shape: assignment is a literal-centroid scan (zero shuffle),
+    the pair search is ONE self-join keyed on ``cluster`` (skew-bounded
+    by the cluster sizes), and the verdict is an aggregation on the
+    smaller pair id — no per-row Python anywhere.
+    """
+    assigned = kmeans_assign(
+        spark, corpus, k=k, iters=iters, vec_col=vec_col,
+        id_col=id_col, centroids=centroids,
+    )
+    pts = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    base = assigned.join(pts, "id").select("id", "cluster", "v", nrm.alias("nrm"))
+    a = base.select(
+        F.col("id").alias("a"), "cluster",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("id").alias("b"), "cluster",
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # a < b: 'b' is dominated (has a smaller-id near-duplicate) — the
+    # distinct is on the dominated side only, so one doc dominated via
+    # several neighbors still yields one drop row
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "b",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("b")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned["id"] == dropped["b"], "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cluster",
+            F.col("b").isNull().alias("keep"),
+        )
+    )

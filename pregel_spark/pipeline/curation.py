@@ -86,6 +86,141 @@ def duckdb_stratified_sample_pred(
     return f"(({duckdb_seeded_hash60(seed, id_col)}) % {_PPM}) < {rate_expr}"
 
 
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    ns: tuple[int, ...] = (1, 2),
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-n-gram bag is under the
+    TARGET distribution than under the RAW distribution —
+    ``logratio = Σ_b n_doc[b] · ln p̂_target(b)/p̂_raw(b)`` — the
+    standard recipe for tilting a web crawl toward a high-quality
+    target corpus (Wikipedia, books, curated reference text).
+
+    Features are word n-gram instances (``ns``, with multiplicity,
+    the repo tokenizer spec) hashed into ``buckets`` buckets with the
+    engine-portable seeded 60-bit md5 hash (``pipeline/hashing``), so
+    the whole score is a pure function of the two corpora — identical
+    across runs, partitionings, and engines. Bucket probabilities use
+    add-``alpha`` smoothing; each bucket's log-ratio is ONE ``ln`` of
+    an exactly-computed ratio, ``ln(((ct+α)·(Tr+αB)) / ((cr+α)·(Tt+αB)))``
+    (counts are BIGINT-exact; the products stay integer-exact in
+    double below 2^53 — fine for any per-bucket census this side of
+    ~10^7 docs/bucket; contract rows round at 6 decimals which also
+    absorbs the documented 1-ulp ``ln`` gap between engines). Docs are
+    scored against the raw fit of ``docs`` ITSELF, so every scored
+    bucket exists in the raw census (no missing-key epsilon).
+
+    Returns (doc_id, n_feats, logratio); zero-feature docs score 0.0.
+
+    Scale shape: two explode+census passes whose outputs are
+    BUCKETS-sized (kilobytes — the map-side partial agg collapses each
+    partition to ≤``buckets`` rows), one (doc, bucket) pre-aggregation,
+    then a broadcast join of the bucket log-ratio table onto it and a
+    per-doc sum. Linear in corpus tokens, one doc-keyed shuffle; the
+    target corpus is streamed once, never collected.
+    """
+    from .hashing import seeded_hash60
+    from .textstats import _gram_instances, _tokens
+
+    def feats(df, idc):
+        toks = df.select(F.col(idc).alias("doc_id"), _tokens().alias("w"))
+        grams = toks.select(
+            "doc_id",
+            F.explode(
+                F.flatten(F.array(*[_gram_instances(F.col("w"), n) for n in ns]))
+            ).alias("g"),
+        )
+        return grams.select(
+            "doc_id", F.pmod(seeded_hash60(seed, F.col("g")), F.lit(buckets)).alias("b")
+        )
+
+    raw = feats(docs, id_col)
+    tgt = feats(target, id_col)
+    cr = raw.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    ct = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tr = raw.count()
+    tt = tgt.count()
+    # bucket log-ratio table: <= buckets rows, broadcast onto the doc rollup
+    lr = (
+        cr.join(ct, "b", "left")
+        .select(
+            "b",
+            F.log(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                    * F.lit(float(tr) + alpha * buckets)
+                )
+                / (
+                    (F.col("cr") + F.lit(alpha))
+                    * F.lit(float(tt) + alpha * buckets)
+                )
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        raw.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            F.sum(F.col("n") * F.col("lr")).alias("logratio"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("logratio", F.lit(0.0)).alias("logratio"),
+        )
+    )
+
+
+def resample_top_frac(
+    weights: DataFrame,
+    frac: float,
+    temperature: float = 1.0,
+    seed: int = 1,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """DSIR's Gumbel-top-k resampling step, determinized: keep the
+    ``frac`` fraction of docs with the largest
+    ``logratio/temperature + Gumbel(doc_id, seed)``, where the Gumbel
+    noise is derived from the portable seeded hash
+    (``u = (hash mod 1e6 + 0.5)/1e6``, ``g = -ln(-ln u)``) — sampling
+    without replacement from the softmax-tilted distribution, yet a
+    pure function of (doc_id, seed) like everything else in this
+    module. ``TakeOrdered`` keeps k rows per partition; never a full
+    sort. Ties (astronomically unlikely) break by doc_id via the sort
+    key. Returns the kept (doc_id, n_feats, logratio) rows."""
+    from .hashing import seeded_hash60
+
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    n = n_rows if n_rows is not None else weights.count()
+    k = max(1, int(n * frac))
+    u = (
+        F.pmod(seeded_hash60(seed, F.col("doc_id").cast("string")), F.lit(_PPM))
+        + F.lit(0.5)
+    ) / F.lit(float(_PPM))
+    key = F.col("logratio") / F.lit(temperature) - F.log(-F.log(u))
+    return (
+        weights.withColumn("_k", key)
+        .orderBy(F.desc("_k"), F.asc("doc_id"))
+        .limit(k)
+        .drop("_k")
+    )
+
+
 def curate_corpus(
     spark,
     docs: DataFrame,

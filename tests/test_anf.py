@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pregel_spark.graph import anf, effective_diameter
+from pregel_spark.graph import anf, anf_effective_diameter
 
 from conftest import edges_df
 
@@ -86,7 +86,7 @@ def test_anf_monotone_and_diameter(spark):
     rows = sorted(nf.collect(), key=lambda r: r["round"])
     ests = [r["reach_est"] for r in rows]
     assert all(a <= b for a, b in zip(ests, ests[1:]))  # balls only grow
-    d = effective_diameter(nf, q=0.9)
+    d = anf_effective_diameter(nf, q=0.9)
     assert 0 < d <= 6
     want = _simulate(pairs, 6)
     assert [r["sum_pow2b"] for r in rows] == want
