@@ -1279,6 +1279,30 @@ def q_degree_hist(spark, sf_dir):
     return degree_histogram(_edges(spark, sf_dir))
 
 
+def q_token_quantiles(spark, sf_dir):
+    """Exact corpus token-count quantiles by value-domain bisection —
+    constant executor memory, log2(range) conditional-count scans;
+    rank spec pinned to ceil(q*n) lower-quantile (no interpolation, so
+    the result is always an observed value)."""
+    from pregel_spark.pipeline import quantile_table, token_stats
+
+    return quantile_table(
+        token_stats(_docs(spark, sf_dir)),
+        "n_tokens",
+        (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    )
+
+
+def q_powerlaw(spark, sf_dir):
+    """Clauset-Shalizi-Newman power-law exponent MLE over the in/out
+    degree tails (d >= 2) — the scale-free fit behind degree_hist."""
+    from pregel_spark.graph import powerlaw_alpha
+
+    return powerlaw_alpha(_edges(spark, sf_dir), dmin=2).select(
+        "kind", "dmin", "n_tail", F.round("alpha", 6).alias("alpha")
+    )
+
+
 def q_sample_subgraph(spark, sf_dir):
     """Deterministic vertex-induced subgraph sample (fraction 0.5,
     seed 7) — membership is a pure function of (id, seed) via the
@@ -2167,6 +2191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "sample_subgraph": q_sample_subgraph,
         "degree_hist": q_degree_hist,
+        "token_quantiles": q_token_quantiles,
+        "powerlaw_alpha": q_powerlaw,
         "clustering_coeff": q_clustering,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
@@ -3060,6 +3086,35 @@ WITH {edges_cte}
 SELECT src, dst, weight FROM e0
 WHERE ({_duckdb_sample_pred("src", 0.5, 7)})
   AND ({_duckdb_sample_pred("dst", 0.5, 7)})
+""",
+        "token_quantiles": r"""
+WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+           FROM documents),
+s AS (SELECT n, row_number() OVER (ORDER BY n) AS rn FROM t),
+c AS (SELECT count(*) AS cnt FROM t),
+qs AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+SELECT qs.q, CAST(s.n AS BIGINT) AS value
+FROM qs CROSS JOIN c
+JOIN s ON s.rn = least(greatest(CAST(ceil(qs.q * c.cnt) AS BIGINT), 1), c.cnt)
+""",
+        "powerlaw_alpha": f"""
+WITH {edges_cte},
+out_d AS (SELECT src AS id, count(*) AS out_deg FROM e0 GROUP BY src),
+in_d AS (SELECT dst AS id, count(*) AS in_deg FROM e0 GROUP BY dst),
+ids AS (SELECT id FROM out_d UNION SELECT id FROM in_d),
+deg AS (SELECT ids.id,
+               COALESCE(out_d.out_deg, 0) AS out_deg,
+               COALESCE(in_d.in_deg, 0) AS in_deg
+        FROM ids LEFT JOIN out_d ON ids.id = out_d.id
+                 LEFT JOIN in_d ON ids.id = in_d.id),
+fin AS (SELECT 'in' AS kind, 2 AS dmin, count(*) AS n_tail,
+               round(1.0 + count(*) / sum(ln(in_deg / 1.5)), 6) AS alpha
+        FROM deg WHERE in_deg >= 2),
+fout AS (SELECT 'out' AS kind, 2 AS dmin, count(*) AS n_tail,
+                round(1.0 + count(*) / sum(ln(out_deg / 1.5)), 6) AS alpha
+         FROM deg WHERE out_deg >= 2)
+SELECT * FROM fin UNION ALL SELECT * FROM fout
 """,
         "degree_hist": f"""
 WITH {edges_cte},

@@ -93,6 +93,8 @@ HEADLINE = R3_CORE + [
     "sketch_hll",
     "dsir_weights",
     "semantic_dedup",
+    "token_quantiles",
+    "powerlaw_alpha",
 ]
 # scc_fixture / bowtie_fixture / katz_k4 / topo_levels / scc_condense
 # stay correctness-only: they run on the constant ~60-vertex cyclic

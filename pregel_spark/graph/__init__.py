@@ -40,6 +40,7 @@ from .structure import (
     degree_assortativity,
     jaccard_pairs,
     modularity,
+    powerlaw_alpha,
     reciprocity,
     refine_modularity,
 )
@@ -104,6 +105,7 @@ __all__ = [
     "degree_assortativity",
     "modularity",
     "refine_modularity",
+    "powerlaw_alpha",
     "reciprocity",
     "spam_mass",
     "outlink_docs",

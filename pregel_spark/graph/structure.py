@@ -464,3 +464,44 @@ def refine_modularity(
         ).alias("best")
     )
     return pick.select("id", F.col("best.cand").alias(label_col))
+
+
+def powerlaw_alpha(edges: DataFrame, dmin: int = 2) -> DataFrame:
+    """Degree-distribution power-law exponent, the Clauset-Shalizi-
+    Newman continuous-approximation MLE (SIAM Rev. 2009, eq. 3.7) —
+    the one-number summary behind every "the web is scale-free" plot
+    (``degree_histogram`` draws it; this fits it):
+
+        alpha = 1 + n_tail / sum_{d >= dmin} ln(d / (dmin - 0.5))
+
+    computed for in- and out-degrees over the tail ``d >= dmin``.
+    Returns (kind, dmin, n_tail, alpha), kind in ('in', 'out');
+    a direction with an empty tail yields a NULL alpha rather than a
+    division by zero.
+
+    Scale shape: one degree aggregation (O(E) partial-agg shuffle),
+    then ONE whole-tail agg of (count, sum-of-ln) per direction — two
+    scalar rows cross the wire. The per-row ``ln`` is IEEE double on
+    both engines (1-ulp gap absorbed by the contract round-6; the sum
+    is O(V_tail) values of order 1, so accumulation noise is ~1e-12).
+    """
+    if dmin < 1:
+        raise ValueError(f"dmin must be >= 1, got {dmin}")
+    from .build import degrees
+
+    deg = degrees(edges)
+
+    def fit(col, kind):
+        tail = deg.filter(F.col(col) >= dmin)
+        agg = tail.agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.sum(F.log(F.col(col) / F.lit(dmin - 0.5))).alias("_s"),
+        )
+        return agg.select(
+            F.lit(kind).alias("kind"),
+            F.lit(dmin).alias("dmin"),
+            "n_tail",
+            (F.lit(1.0) + F.col("n_tail") / F.col("_s")).alias("alpha"),
+        )
+
+    return fit("in_deg", "in").unionByName(fit("out_deg", "out"))

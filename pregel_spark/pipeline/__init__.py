@@ -54,6 +54,7 @@ from .simsearch import (
     write_ivf_index,
 )
 from .cluster import kmeans_assign, kmeans_fit, semantic_dedup
+from .stats import exact_quantiles, quantile_bins, quantile_table
 from .sketch import cm_estimate, count_min, hll_estimate, hll_registers
 from .lines import (
     boilerplate_lines,
@@ -83,6 +84,9 @@ __all__ = [
     "pack_sequences",
     "split_lines",
     "top_ngrams",
+    "exact_quantiles",
+    "quantile_bins",
+    "quantile_table",
     "embedding_near_dup_pairs",
     "fingerprint",
     "language_id",
