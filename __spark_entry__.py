@@ -1279,6 +1279,14 @@ def q_degree_hist(spark, sf_dir):
     return degree_histogram(_edges(spark, sf_dir))
 
 
+def q_pmi(spark, sf_dir):
+    """Top-20 bigram collocations by PMI (min pair count 5) — pinned
+    double op order; ordering on the round-6 value."""
+    from pregel_spark.pipeline import pmi_ngrams
+
+    return pmi_ngrams(_docs(spark, sf_dir), min_count=5, k=20)
+
+
 def q_token_quantiles(spark, sf_dir):
     """Exact corpus token-count quantiles by value-domain bisection —
     constant executor memory, log2(range) conditional-count scans;
@@ -2192,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_subgraph": q_sample_subgraph,
         "degree_hist": q_degree_hist,
         "token_quantiles": q_token_quantiles,
+        "pmi_top": q_pmi,
         "powerlaw_alpha": q_powerlaw,
         "clustering_coeff": q_clustering,
         "reciprocity": q_reciprocity,
@@ -3086,6 +3095,31 @@ WITH {edges_cte}
 SELECT src, dst, weight FROM e0
 WHERE ({_duckdb_sample_pred("src", 0.5, 7)})
   AND ({_duckdb_sample_pred("dst", 0.5, 7)})
+""",
+        "pmi_top": r"""
+WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(text), '\s+') END AS w
+           FROM documents),
+u AS (SELECT unnest(w) AS tk FROM t),
+uc AS (SELECT tk, count(*) AS c FROM u GROUP BY tk),
+g AS (SELECT unnest([array_to_string(w[i:i+1], ' ')
+                     for i in range(1, len(w))]) AS ngram
+      FROM t WHERE len(w) >= 2),
+pc AS (SELECT ngram, count(*) AS n_pair FROM g GROUP BY ngram
+       HAVING count(*) >= 5),
+sp AS (SELECT ngram, n_pair,
+              string_split(ngram, ' ')[1] AS a,
+              string_split(ngram, ' ')[2] AS b
+       FROM pc),
+tot AS (SELECT CAST((SELECT count(*) FROM u) AS DOUBLE) AS t1,
+               CAST((SELECT count(*) FROM g) AS DOUBLE) AS t2)
+SELECT ngram, n_pair,
+       round(ln(((CAST(n_pair AS DOUBLE) * t1) * t1)
+                / ((CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) * t2)),
+             6) AS pmi
+FROM sp JOIN uc ua ON sp.a = ua.tk JOIN uc ub ON sp.b = ub.tk
+CROSS JOIN tot
+ORDER BY pmi DESC, ngram LIMIT 20
 """,
         "token_quantiles": r"""
 WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0

@@ -95,6 +95,7 @@ HEADLINE = R3_CORE + [
     "semantic_dedup",
     "token_quantiles",
     "powerlaw_alpha",
+    "pmi_top",
 ]
 # scc_fixture / bowtie_fixture / katz_k4 / topo_levels / scc_condense
 # stay correctness-only: they run on the constant ~60-vertex cyclic

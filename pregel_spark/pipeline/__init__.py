@@ -9,6 +9,7 @@ media decode) — never per-row Python UDFs.
 
 from .textstats import (
     fingerprint,
+    pmi_ngrams,
     language_id,
     pii_counts,
     quality_score,
@@ -91,6 +92,7 @@ __all__ = [
     "fingerprint",
     "language_id",
     "pii_counts",
+    "pmi_ngrams",
     "quality_score",
     "repetition_stats",
     "token_stats",

@@ -397,3 +397,58 @@ def pii_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     for name, pat in PII_PATTERNS.items():
         out = out.withColumn(name, F.regexp_count(F.col("text"), F.lit(pat)))
     return out.drop("text")
+
+
+def pmi_ngrams(
+    docs: DataFrame, min_count: int = 5, k: int = 20, id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information —
+    Church & Hanks 1990's association measure, the corpus-analysis
+    step that separates real collocations ("Hong Kong") from merely
+    frequent pairs ("of the"):
+
+        pmi(a,b) = ln( p(a,b) / (p(a) p(b)) )
+                 = ln( ((c_ab * T1) * T1) / ((c_a * c_b) * T2) )
+
+    with c over token/bigram instances, T1/T2 the unigram/bigram
+    instance totals, arithmetic parenthesized exactly as written in
+    DOUBLE on both engines (IEEE ops are bit-deterministic given the
+    order; the 1-ulp ``ln`` gap is absorbed by round-6).
+    ``min_count`` suppresses the unstable low-count tail (classic PMI
+    bias toward hapax pairs). Returns (ngram, n_pair, pmi), ordered by
+    (round-6 pmi desc, ngram) — a ``TakeOrdered``, never a full sort.
+
+    Scale: one explode into unigram + bigram censuses (map-side
+    combined, vocabulary-sized outputs), two joins of the surviving
+    ``>= min_count`` pairs against the unigram table. The min_count
+    filter runs BEFORE the joins, so the joined side is the collocation
+    candidates, not the whole bigram census."""
+    toks = docs.select(_tokens().alias("w"))
+    uni = toks.select(F.explode("w").alias("tk"))
+    uc = uni.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    t1 = float(uni.count())
+    grams = toks.select(F.explode(_gram_instances(F.col("w"), 2)).alias("ngram"))
+    t2 = float(grams.count())
+    pc = (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+        .withColumn("a", F.split("ngram", " ")[0])
+        .withColumn("b", F.split("ngram", " ")[1])
+    )
+    ua = uc.select(F.col("tk").alias("a"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("tk").alias("b"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") * F.lit(t1) * F.lit(t1))
+            / (F.col("ca").cast("double") * F.col("cb").cast("double") * F.lit(t2))
+        ),
+        6,
+    )
+    return (
+        pc.join(ua, "a")
+        .join(ub, "b")
+        .select("ngram", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("ngram"))
+        .limit(k)
+    )
