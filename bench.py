@@ -125,6 +125,7 @@ def main():
 
     res = None
     for name in HEADLINE:
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.monotonic()
         if name == "pagerank_full":
             edges = entrymod._edges(spark, SF_DIR)

@@ -53,6 +53,56 @@ from .build import adjacency as build_adjacency
 from .skew import salted_collect_list
 
 
+def _clamp_checkpoint_stats(df: DataFrame) -> DataFrame:
+    """Drop the inherited plan statistics from a localCheckpoint leaf
+    when they have blown up.
+
+    Spark 4.1's ``localCheckpoint`` builds a ``LogicalRDD`` that
+    CARRIES OVER the pre-checkpoint plan's computed ``sizeInBytes``
+    (``LogicalRDD.fromDataset`` → ``rewriteStatsAndConstraints``,
+    ExistingRDD.scala:200/263). ``SizeInBytesOnlyStatsPlanVisitor``
+    estimates a join as the PRODUCT of its children, so a loop whose
+    round joins two frames derived from the same checkpointed state
+    (pointer doubling, alternating star-CC) SQUARES the carried BigInt
+    every round — its bit-width doubles, and after ~20 squarings a
+    single stats multiplication inside the NEXT ``localCheckpoint``
+    call runs for minutes of driver CPU (observed live: a 20-minute
+    ``BigInteger.multiplyToomCook3`` stall planning ``mst_boruvka`` /
+    ``near_dup_clusters`` at sf0.1; reproduced in miniature — 14 bits
+    → 13,123 bits in 9 doubling rounds). Materialization does not save
+    you BECAUSE the blown-up number itself is inherited through every
+    checkpoint.
+
+    Fix: when the checkpointed leaf's ``sizeInBytes`` exceeds 64 bits
+    (i.e. it is already an impossible size, beyond Long.MaxValue ≈
+    9.2 EB), rebuild the ``LogicalRDD`` with ``originStats = None`` so
+    stats fall back to ``spark.sql.defaultSizeInBytes``. Join-strategy
+    effect: none — a >2^64-byte estimate and the conservative default
+    both mean "never broadcast". Real (small) stats are kept, so
+    legitimately broadcastable checkpointed frames stay broadcastable.
+    ``output``/``rdd``/``outputPartitioning``/``outputOrdering`` are
+    preserved, so the load-bearing co-partitioning guarantee (below)
+    is untouched. With the clamp applied at every materialization,
+    carried stats never exceed a few hundred bits between cuts, so the
+    (leaf-only) stats read here stays cheap."""
+    jdf = df._jdf
+    plan = jdf.queryExecution().logical()
+    if plan.getClass().getSimpleName() != "LogicalRDD":
+        return df
+    if int(plan.stats().sizeInBytes()).bit_length() <= 64:
+        return df
+    jvm = df.sparkSession._jvm
+    none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+    jsess = df.sparkSession._jsparkSession
+    newplan = plan.copy(
+        plan.output(), plan.rdd(), plan.outputPartitioning(),
+        plan.outputOrdering(), plan.isStreaming(), plan.stream(),
+        jsess, none, none,
+    )
+    njdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(jsess, newplan)
+    return DataFrame(njdf, df.sparkSession)
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Cut lineage + cache: the per-superstep barrier materialization.
 
@@ -60,8 +110,10 @@ def materialize(df: DataFrame) -> DataFrame:
     physical ``outputPartitioning`` — a loop-carried table checkpointed
     after ``repartition(n, key)`` re-enters the next superstep's
     joins/aggregations on ``key`` with NO new exchange. The loops below
-    rely on this."""
-    return df.localCheckpoint(eager=True)
+    rely on this. Inherited plan statistics are clamped — see
+    :func:`_clamp_checkpoint_stats` for the BigInt-squaring stall this
+    prevents."""
+    return _clamp_checkpoint_stats(df.localCheckpoint(eager=True))
 
 
 def shuffle_totals(spark: SparkSession) -> tuple[int, int] | None:
@@ -182,7 +234,7 @@ class StepMaterializer:
     def step(self, df: DataFrame, superstep: int) -> DataFrame:
         cut = superstep % self.cut_interval == 0
         if cut:
-            out = df.localCheckpoint(eager=True)
+            out = _clamp_checkpoint_stats(df.localCheckpoint(eager=True))
         else:
             out = df.persist()
         return out
