@@ -155,10 +155,17 @@ def main():
         ]
     # steady-state estimator (min-of-steps): steal-resistant, mirrors
     # pagerank_bench_worker — valid when per-superstep work is constant
-    # (salsa/hits fixed-k loops), NOT for shrinking-frontier loops
-    if algo in ("salsa", "hits") and res.metrics:
-        min_step_ms = min(m["wall_ms"] for m in res.metrics)
+    # (salsa/hits fixed-k loops) or when per-step exchange volumes are
+    # level-invariant so matched-index steps compare like-for-like
+    # (lpa rescatter: identical shuffle-byte sequence at every
+    # parallelism — the aggregator cross-checks the argmin indexes
+    # match before trusting the pair ratio). NOT for shrinking-frontier
+    # loops whose cheapest round is a near-empty tail (cc_star, sssp).
+    if algo in ("salsa", "hits", "lpa") and res.metrics:
+        walls = [m["wall_ms"] for m in res.metrics]
+        min_step_ms = min(walls)
         out["edges_per_sec_steady"] = round(n_edges / (min_step_ms / 1000.0), 1)
+        out["steady_step_index"] = walls.index(min_step_ms)
     print("BENCHJSON:" + json.dumps(out))
     spark.stop()
 

@@ -105,12 +105,17 @@ def main():
         "pass_gate_0.8": eff >= 0.8,
     }
     if "edges_per_sec_steady" in low and "edges_per_sec_steady" in high:
-        # min-of-steps estimator: steal-resistant (see worker docstring)
-        result["scaling_efficiency_steady"] = round(
-            (high["edges_per_sec_steady"] / low["edges_per_sec_steady"])
-            / ratio,
-            4,
-        )
+        # min-of-steps estimator: steal-resistant (see worker docstring).
+        # When the workers report which step won (variable-volume loops
+        # like lpa), require the same step index at both levels so the
+        # ratio compares identically-shaped exchanges.
+        idx_ok = low.get("steady_step_index") == high.get("steady_step_index")
+        if idx_ok or "steady_step_index" not in low:
+            result["scaling_efficiency_steady"] = round(
+                (high["edges_per_sec_steady"] / low["edges_per_sec_steady"])
+                / ratio,
+                4,
+            )
     out_name = (
         "BENCH_SCALING.json" if algo == "pagerank"
         else f"BENCH_SCALING_{algo}.json"
