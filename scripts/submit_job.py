@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--run-id", default=None,
+                    help="stable run id; checkpoints live under "
+                         "<checkpoint-dir>/<run-id>, so a restarted driver "
+                         "MUST pass the same id for --resume to find them")
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--tol", type=float, default=1e-6)
@@ -66,8 +70,11 @@ def main(argv: list[str] | None = None) -> None:
     df = spark.read.parquet(args.input)
     edges = edges_from_pages(df) if args.input_kind == "pages" else df
 
+    if args.resume and not args.run_id:
+        ap.error("--resume requires --run-id (checkpoints are scoped per run)")
     common = dict(num_partitions=args.num_partitions,
-                  checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+                  checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+                  run_id=args.run_id)
     if args.algo == "pagerank":
         res = pagerank(spark, edges, tol=args.tol, max_iter=args.max_iter, **common)
     elif args.algo == "cc":
