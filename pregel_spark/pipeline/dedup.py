@@ -104,18 +104,34 @@ def ngram_jaccard_pairs(
 
     Inverted-index join: |pairs| bounded by sum over shingles of df²,
     with df capped at ``max_shingle_df``.
+
+    The distinct shingle table is checkpointed once: it feeds the doc
+    sizes, the df census, and BOTH sides of the inverted-index
+    self-join — unmaterialized, Spark re-runs the tokenize+explode+
+    distinct subtree for every reference (measured 6 Generate(explode)
+    nodes, zero ReusedExchange, in one plan). The capped posting list
+    (``rare``) is checkpointed too so the census and semi-join run
+    once, not once per self-join side. Both tables are
+    corpus-shingle-sized — the same rows a 100 TB run would persist
+    anyway before a 6-fold rescan.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles_col(k)).alias("sh")
-    ).distinct()
+    from ..graph.engine import materialize
+
+    sh = materialize(
+        docs.select(
+            F.col(id_col).alias("id"), F.explode(shingles_col(k)).alias("sh")
+        ).distinct()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    rare = sh.join(
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_shingle_df)
-        .select("sh"),
-        "sh",
-        "left_semi",
+    rare = materialize(
+        sh.join(
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("sh"),
+            "sh",
+            "left_semi",
+        )
     )
     a = rare.select(F.col("sh"), F.col("id").alias("a"))
     b = rare.select(F.col("sh"), F.col("id").alias("b"))
@@ -165,21 +181,31 @@ def containment_pairs(
     effect (pairs sharing only stop-shingles undercount) is shared
     with the Jaccard operator and replicated exactly by the oracle.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles_col(k)).alias("sh")
-    ).distinct()
+    # same multi-reference checkpoints as ngram_jaccard_pairs (the
+    # shingle table feeds sizes/census/both self-join sides; here the
+    # union below additionally references the intersection counts
+    # twice, which would re-run the whole index join per direction)
+    from ..graph.engine import materialize
+
+    sh = materialize(
+        docs.select(
+            F.col(id_col).alias("id"), F.explode(shingles_col(k)).alias("sh")
+        ).distinct()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    rare = sh.join(
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_shingle_df)
-        .select("sh"),
-        "sh",
-        "left_semi",
+    rare = materialize(
+        sh.join(
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("sh"),
+            "sh",
+            "left_semi",
+        )
     )
     a = rare.select(F.col("sh"), F.col("id").alias("a"))
     b = rare.select(F.col("sh"), F.col("id").alias("b"))
-    inter = (
+    inter = materialize(
         a.join(b, "sh")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
@@ -489,10 +515,21 @@ def near_dup_clusters(
             "the numeric min for negative ids"
         )
     pairs = ngram_jaccard_pairs(docs, threshold, k, id_col, max_shingle_df)
-    edges = pairs.select(
-        F.format_string("%019d", F.col("a")).alias("src"),
-        F.format_string("%019d", F.col("b")).alias("dst"),
-        F.lit(1.0).alias("weight"),
+    # Materialize the pair table BEFORE the CC loop: star-CC's setup
+    # scans its edge input several times (vertex extraction, the two
+    # id-map joins, symmetrize), and each scan would otherwise re-run
+    # the whole inverted-index pair generation — measured ~2x the total
+    # near_dup_clusters wall at sf0.1. The pair table is the near-dup
+    # edge set (orders of magnitude smaller than the corpus), so the
+    # checkpoint is cheap at any scale.
+    from ..graph.engine import materialize
+
+    edges = materialize(
+        pairs.select(
+            F.format_string("%019d", F.col("a")).alias("src"),
+            F.format_string("%019d", F.col("b")).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
     )
     labels = connected_components_star(spark, edges).vertices.select(
         F.col("id").cast("long").alias(id_col),
