@@ -15,6 +15,18 @@ a constant number of partial-agg shuffles over O(E) or O(V), except
 ``max_center_degree`` (the same df-cutoff idiom as
 ``pipeline.dedup.max_shingle_df``) so hub centers can never explode
 the candidate-pair join at web scale.
+
+Checkpointing note (measured, sf0.1 A/B): the multi-referenced
+subtrees here (symmetrized edge sets feeding SELF-joins keyed the
+same on both sides — cocitation pivots, adamic/jaccard neighbor
+lists) are already deduplicated for free by Spark's ReusedExchange
+(both sides canonicalize to the identical hash exchange). Wrapping
+them in ``engine.materialize`` REGRESSED every one of them (e.g.
+cocitation 8.5s -> 15.2s) by replacing the free reuse with an eager
+extra job + storage pass. Contrast ``triangles._oriented``, whose
+three references partition on DIFFERENT keys (src vs dst) so no
+exchange can be reused — there the checkpoint measurably wins. Rule:
+checkpoint only when the references need different partitionings.
 """
 
 from __future__ import annotations
@@ -159,7 +171,14 @@ def adamic_adar(
     """
     ue = undirect(edges).select("src", "dst")
     deg = _udeg(ue)
-    centers = deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv")
+    # a degree-1 center has a single neighbor and closes no pair:
+    # dropping it shrinks the wedge input AND removes the 1/ln(1)
+    # division (Infinity lazily unreachable, but prune it anyway)
+    centers = (
+        deg.withColumnRenamed("id", "v")
+        .withColumnRenamed("deg", "dv")
+        .filter(F.col("dv") >= 2)
+    )
     if max_center_degree is not None:
         centers = centers.filter(F.col("dv") <= max_center_degree)
     nbrs = (
@@ -215,7 +234,12 @@ def jaccard_pairs(
     """
     ue = undirect(edges).select("src", "dst")
     deg = _udeg(ue)
-    centers = deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv")
+    # degree-1 centers close no pair — prune them (see adamic_adar)
+    centers = (
+        deg.withColumnRenamed("id", "v")
+        .withColumnRenamed("deg", "dv")
+        .filter(F.col("dv") >= 2)
+    )
     if max_center_degree is not None:
         centers = centers.filter(F.col("dv") <= max_center_degree)
     nbrs = (

@@ -23,8 +23,19 @@ from .build import undirect
 
 
 def _oriented(edges: DataFrame) -> DataFrame:
-    """Each undirected edge exactly once, low (deg, id) -> high."""
-    ue = undirect(edges).select("src", "dst")
+    """Each undirected edge exactly once, low (deg, id) -> high.
+
+    Checkpointed (and the symmetrized set feeding it): the oriented
+    table is referenced THREE times by the wedge join and its closer,
+    and the symmetrized set twice more inside this function — left
+    lazy, every reference re-expands the whole upstream subtree
+    multiplicatively (measured: 108 scans of the same edge parquet in
+    one triangle_count plan, 348 in clustering_coeff, zero
+    ReusedExchange). Both tables are O(|E|) two-column rows — the same
+    thing a 100 TB run would persist before a 3-way self-join."""
+    from .engine import materialize
+
+    ue = materialize(undirect(edges).select("src", "dst"))
     deg = ue.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     e = (
         ue.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "ds"), "src")
@@ -35,7 +46,7 @@ def _oriented(edges: DataFrame) -> DataFrame:
         )
         .select("src", "dst")
     )
-    return e
+    return materialize(e)
 
 
 def _triangles(edges: DataFrame) -> DataFrame:
@@ -58,7 +69,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     """(id, triangles) — vertices in no triangle included with 0."""
-    tris = _triangles(edges)
+    from .engine import materialize
+
+    # the triangle set is credited from all three corners (3 refs)
+    tris = materialize(_triangles(edges))
     credits = (
         tris.select(F.col("u").alias("id"))
         .unionByName(tris.select(F.col("v").alias("id")))
