@@ -13,7 +13,7 @@ from .build import (
     vertex_sample_pred,
 )
 from .engine import Pregel, PregelResult
-from .pagerank import pagerank, spam_mass
+from .pagerank import PreparedGraph, pagerank, prepare_graph, spam_mass
 from .components import connected_components, connected_components_star
 from .lpa import label_propagation
 from .triangles import k_truss, triangle_count, triangle_count_per_vertex
@@ -74,7 +74,9 @@ __all__ = [
     "vertex_sample_pred",
     "Pregel",
     "PregelResult",
+    "PreparedGraph",
     "pagerank",
+    "prepare_graph",
     "connected_components",
     "connected_components_star",
     "label_propagation",

@@ -77,6 +77,38 @@ def test_lone_long_chain_with_cycle_not_misclassified(spark):
     assert got["ca"] == (None, None, "cycle")
 
 
+def test_cycles_exit_in_one_round(spark):
+    # pure-cycle input: round 1 resolves nobody, which PROVES every
+    # live row is cyclic (module docstring) — exit after 1 round, not
+    # the ceil(log2 n)+1 cap
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("z", "z")]
+    stats = {}
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {
+        r.src: (r.final_url, r.n_hops, r.status)
+        for r in resolve_redirects(spark, df, stats=stats).collect()
+    }
+    assert got == _py_resolve(pairs)
+    assert stats["rounds"] == 1
+
+
+def test_early_exit_scales_with_chain_not_n(spark):
+    # 3000 length-3 chains + one 3-cycle: the worst-case cap is
+    # ceil(log2 9003)+1 = 15 rounds, but zero-newly-resolved fires at
+    # round 4 (d<=3 rows all done by round 3, detected lagged +1)
+    pairs = [
+        (f"c{i}_{j}", f"c{i}_{j + 1}") for i in range(3000) for j in range(3)
+    ] + [("r1", "r2"), ("r2", "r3"), ("r3", "r1")]
+    stats = {}
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {
+        r.src: (r.final_url, r.n_hops, r.status)
+        for r in resolve_redirects(spark, df, stats=stats).collect()
+    }
+    assert got == _py_resolve(pairs)
+    assert stats["rounds"] == 4
+
+
 def test_empty_input(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert resolve_redirects(spark, df).collect() == []
