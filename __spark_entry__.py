@@ -1128,6 +1128,25 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(chunk_lines(docs, n_tokens=10), docs, sep=" ")
 
 
+def q_dup_spans(spark, sf_dir):
+    """Lee et al. ExactSubstr duplicate spans: maximal merged covers of
+    8-token gram runs occurring >= 2 times corpus-wide (same-doc
+    repeats count), gram keys from the portable md5-60 family so the
+    oracle replays the census bit-exactly (pipeline/spans.py)."""
+    from pregel_spark.pipeline.spans import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=8)
+
+
+def q_dup_span_strip(spark, sf_dir):
+    """ExactSubstr strip: every duplicated 8-gram span removed from
+    every document (all copies — survivor choice would be
+    partition-order-dependent); rebuilt text + kept/dropped counts."""
+    from pregel_spark.pipeline.spans import strip_duplicate_spans
+
+    return strip_duplicate_spans(_docs(spark, sf_dir), k=8)
+
+
 def q_sketch_count_min(spark, sf_dir):
     """Count-Min sketch (4x256) of the corpus token stream: every
     counter an exact BIGINT the oracle rebuilds from the same md5
@@ -1332,6 +1351,77 @@ def q_canonical_urls(spark, sf_dir):
 
 
 # ----------------- programmatic DuckDB oracle builders ----------------
+
+
+def _dup_span_cte(k: int = 8, min_count: int = 2) -> str:
+    """Shared CTE chain replaying pipeline/spans.py: whitespace tokens,
+    md5-60 gram keys, corpus-wide census, overlap-or-touch island merge
+    (gaps-and-islands over a running-max window). Ends at ``sp`` =
+    (doc_id, span_start, span_end)."""
+    gk = "(('0x' || substr(md5(array_to_string(w[i:i+{km1}], ' ')), 1, 15))::UBIGINT::BIGINT)".format(
+        km1=k - 1
+    )
+    return f"""
+t AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\\s+') END AS w
+    FROM documents),
+g AS (
+    SELECT doc_id,
+           CAST(unnest(range(1, len(w) - {k} + 2)) AS INT) AS start,
+           unnest([{gk} for i in range(1, len(w) - {k} + 2)]) AS gk
+    FROM t WHERE len(w) >= {k}),
+c AS (SELECT gk FROM g GROUP BY gk HAVING count(*) >= {min_count}),
+h AS (SELECT doc_id, start, start + {k - 1} AS e
+      FROM g SEMI JOIN c USING (gk)),
+f AS (
+    SELECT doc_id, start, e,
+           CASE WHEN start > COALESCE(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS nw
+    FROM h),
+isl AS (
+    SELECT doc_id, start, e,
+           sum(nw) OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+    FROM f),
+sp AS (
+    SELECT doc_id, CAST(min(start) AS INT) AS span_start,
+           CAST(max(e) AS INT) AS span_end
+    FROM isl GROUP BY doc_id, grp)"""
+
+
+def _dup_spans_sql(k: int = 8, min_count: int = 2) -> str:
+    return f"""
+WITH {_dup_span_cte(k, min_count)}
+SELECT doc_id, span_start, span_end,
+       CAST(span_end - span_start + 1 AS INT) AS n_tokens
+FROM sp"""
+
+
+def _dup_span_strip_sql(k: int = 8, min_count: int = 2) -> str:
+    return f"""
+WITH {_dup_span_cte(k, min_count)},
+tok AS (
+    SELECT doc_id, CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos,
+           unnest(w) AS tok
+    FROM t WHERE len(w) > 0),
+kept AS (
+    SELECT tok.doc_id, tok.pos, tok.tok
+    FROM tok LEFT JOIN sp
+      ON tok.doc_id = sp.doc_id AND tok.pos BETWEEN sp.span_start AND sp.span_end
+    WHERE sp.doc_id IS NULL),
+reb AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+           count(*) AS nk
+    FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(w) AS n FROM t)
+SELECT d.doc_id, COALESCE(reb.text, '') AS text,
+       CAST(COALESCE(reb.nk, 0) AS INT) AS n_tokens_kept,
+       CAST(tot.n - COALESCE(reb.nk, 0) AS INT) AS n_tokens_dropped
+FROM documents d JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)"""
 
 
 def _pagerank_unrolled_sql(k: int, edges_sql: str, round_final: bool = True) -> str:
@@ -2184,6 +2274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "tfidf": q_tfidf,
         "line_dedup": q_line_dedup,
+        "dup_spans": q_dup_spans,
+        "dup_span_strip": q_dup_span_strip,
         "boilerplate_strip": q_boilerplate_strip,
         "sketch_count_min": q_sketch_count_min,
         "sketch_hll": q_sketch_hll,
@@ -2895,6 +2987,8 @@ SELECT d.doc_id,
        CAST(COALESCE(tot.n, 0) - COALESCE(reb.k, 0) AS BIGINT) AS n_lines_dropped
 FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
 """,
+        "dup_spans": _dup_spans_sql(k=8),
+        "dup_span_strip": _dup_span_strip_sql(k=8),
         "sketch_count_min": r"""
 WITH toks AS (
     SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -96,6 +96,8 @@ HEADLINE = R3_CORE + [
     "token_quantiles",
     "powerlaw_alpha",
     "pmi_top",
+    "dup_spans",
+    "dup_span_strip",
 ]
 # scc_fixture / bowtie_fixture / katz_k4 / topo_levels / scc_condense
 # stay correctness-only: they run on the constant ~60-vertex cyclic

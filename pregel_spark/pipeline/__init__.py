@@ -65,6 +65,7 @@ from .lines import (
     split_lines,
     strip_boilerplate,
 )
+from .spans import duplicate_spans, kgram_occurrences, strip_duplicate_spans
 from .multimodal import (
     decode_media_batch,
     media_feature_rows,
@@ -81,6 +82,9 @@ __all__ = [
     "hll_estimate",
     "hll_registers",
     "line_dedup",
+    "duplicate_spans",
+    "kgram_occurrences",
+    "strip_duplicate_spans",
     "strip_boilerplate",
     "pack_sequences",
     "split_lines",
