@@ -1147,6 +1147,32 @@ def q_dup_span_strip(spark, sf_dir):
     return strip_duplicate_spans(_docs(spark, sf_dir), k=8)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich): 8 merge rounds
+    over the corpus word census — pair censuses on the vocabulary-sized
+    table only, greedy merges as native array folds, deterministic
+    max-count / lexicographic tie-break (pipeline/bpe.py). The oracle
+    replays all 8 rounds as materialized CTEs."""
+    from pregel_spark.pipeline.bpe import bpe_learn, merges_df
+
+    res = bpe_learn(_docs(spark, sf_dir), n_merges=8)
+    res.vocab.unpersist()
+    return merges_df(spark, res.merges)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Per-document word/subword counts under the 8 learned merges:
+    the merge replay touches only the distinct-word table; documents
+    join the encoded vocabulary once."""
+    from pregel_spark.pipeline.bpe import bpe_encode_stats, bpe_learn
+
+    docs = _docs(spark, sf_dir)
+    res = bpe_learn(docs, n_merges=8)
+    out = bpe_encode_stats(docs, res.merges)
+    res.vocab.unpersist()
+    return out
+
+
 def q_sketch_count_min(spark, sf_dir):
     """Count-Min sketch (4x256) of the corpus token stream: every
     counter an exact BIGINT the oracle rebuilds from the same md5
@@ -1422,6 +1448,82 @@ SELECT d.doc_id, COALESCE(reb.text, '') AS text,
        CAST(COALESCE(reb.nk, 0) AS INT) AS n_tokens_kept,
        CAST(tot.n - COALESCE(reb.nk, 0) AS INT) AS n_tokens_dropped
 FROM documents d JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)"""
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE merge round as materialized CTEs (inlining would
+    re-evaluate the multi-referenced vocab/position subtrees
+    exponentially across rounds): best pair -> per-position match
+    flags -> greedy odd-rank selection within runs of consecutive
+    matches (exactly the Spark fold's semantics) -> rebuilt vocab."""
+    p = f"v{r - 1}"
+    return f"""
+b{r} AS MATERIALIZED (
+    SELECT l, rt, sum(n) AS cnt FROM (
+        SELECT n, unnest(s[1:len(s)-1]) AS l, unnest(s[2:len(s)]) AS rt
+        FROM {p} WHERE len(s) >= 2)
+    GROUP BY l, rt ORDER BY cnt DESC, l, rt LIMIT 1),
+px{r} AS MATERIALIZED (
+    SELECT word, n, bl, br,
+           unnest(range(1, len(s)+1)) AS i,
+           unnest(s) AS a,
+           unnest([CASE WHEN j < len(s) AND s[j] = bl AND s[j+1] = br
+                        THEN 1 ELSE 0 END
+                   for j in range(1, len(s)+1)]) AS m
+    FROM (SELECT v.*, b.l AS bl, b.rt AS br FROM {p} v CROSS JOIN b{r} b)),
+sel{r} AS MATERIALIZED (
+    SELECT word, i FROM (
+        SELECT word, i,
+               row_number() OVER (PARTITION BY word, i - rn ORDER BY i) AS k
+        FROM (SELECT word, i,
+                     row_number() OVER (PARTITION BY word ORDER BY i) AS rn
+              FROM px{r} WHERE m = 1))
+    WHERE k % 2 = 1),
+v{r} AS MATERIALIZED (
+    SELECT p.word, any_value(p.n) AS n,
+           list(CASE WHEN s1.i IS NOT NULL THEN p.bl || p.br ELSE p.a END
+                ORDER BY p.i) AS s
+    FROM px{r} p
+    LEFT JOIN sel{r} s1 ON s1.word = p.word AND s1.i = p.i
+    LEFT JOIN sel{r} s2 ON s2.word = p.word AND s2.i = p.i - 1
+    WHERE s2.word IS NULL
+    GROUP BY p.word)"""
+
+
+def _bpe_cte(n_merges: int) -> str:
+    head = r"""
+v0 AS MATERIALIZED (
+    SELECT word, n,
+           [substr(word, i, 1) ||
+            CASE WHEN i = length(word) THEN '</w>' ELSE '' END
+            for i in range(1, length(word)+1)] AS s
+    FROM (SELECT word, count(*) AS n FROM (
+              SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents WHERE length(trim(text)) > 0)
+          GROUP BY word))"""
+    return head + "," + ",".join(_bpe_round_sql(r) for r in range(1, n_merges + 1))
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    rows = "\nUNION ALL ".join(
+        f'SELECT {r} AS rank, l AS "left", rt AS "right", '
+        f"CAST(cnt AS BIGINT) AS cnt FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_cte(n_merges)}\n{rows}"
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    return rf"""
+WITH {_bpe_cte(n_merges)},
+enc AS (SELECT word, len(s) AS k FROM v{n_merges}),
+ex AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+       FROM documents WHERE length(trim(text)) > 0),
+per AS (SELECT doc_id, count(*) AS w, sum(k) AS sub
+        FROM ex JOIN enc USING (word) GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(per.w, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(per.sub, 0) AS BIGINT) AS n_subwords
+FROM documents d LEFT JOIN per USING (doc_id)"""
 
 
 def _pagerank_unrolled_sql(k: int, edges_sql: str, round_final: bool = True) -> str:
@@ -2276,6 +2378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "dup_spans": q_dup_spans,
         "dup_span_strip": q_dup_span_strip,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "boilerplate_strip": q_boilerplate_strip,
         "sketch_count_min": q_sketch_count_min,
         "sketch_hll": q_sketch_hll,
@@ -2989,6 +3093,8 @@ FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
 """,
         "dup_spans": _dup_spans_sql(k=8),
         "dup_span_strip": _dup_span_strip_sql(k=8),
+        "bpe_merges": _bpe_merges_sql(8),
+        "bpe_encode": _bpe_encode_sql(8),
         "sketch_count_min": r"""
 WITH toks AS (
     SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

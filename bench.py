@@ -98,6 +98,8 @@ HEADLINE = R3_CORE + [
     "pmi_top",
     "dup_spans",
     "dup_span_strip",
+    "bpe_merges",
+    "bpe_encode",
 ]
 # scc_fixture / bowtie_fixture / katz_k4 / topo_levels / scc_condense
 # stay correctness-only: they run on the constant ~60-vertex cyclic

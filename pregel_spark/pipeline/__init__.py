@@ -66,6 +66,7 @@ from .lines import (
     strip_boilerplate,
 )
 from .spans import duplicate_spans, kgram_occurrences, strip_duplicate_spans
+from .bpe import bpe_encode_stats, bpe_learn, segment_words, word_census
 from .multimodal import (
     decode_media_batch,
     media_feature_rows,
@@ -85,6 +86,10 @@ __all__ = [
     "duplicate_spans",
     "kgram_occurrences",
     "strip_duplicate_spans",
+    "bpe_encode_stats",
+    "bpe_learn",
+    "segment_words",
+    "word_census",
     "strip_boilerplate",
     "pack_sequences",
     "split_lines",

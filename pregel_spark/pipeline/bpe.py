@@ -1,0 +1,211 @@
+"""Distributed BPE tokenizer training + encoding (Sennrich et al. 2016).
+
+Learning the merge table over a web-scale corpus is a census problem,
+not a text problem: after ONE word-instance census (map-side combined,
+output is vocabulary-sized — millions of rows from 100 TB of text),
+every merge round runs on the vocabulary table only. Each round is
+
+    pair census over adjacent symbol pairs (weighted by word count)
+      -> argmax pair (TakeOrdered 1; deterministic tie-break)
+      -> greedy left-to-right merge applied as a native array fold
+
+so the corpus is scanned exactly once, and the per-round work is
+O(vocab), never O(corpus). No Python touches a row anywhere: the fold
+is ``F.aggregate`` (JVM codegen), the census a ``groupBy``, the argmax
+a top-1.
+
+Pinned spec (engine-portable; the DuckDB oracle and the pure-Python
+test oracle replay it exactly):
+- Words = the repo-wide whitespace tokenizer (``dedup.tokens_col``);
+  counts are instance counts.
+- Initial symbols = the word's characters, with ``</w>`` appended to
+  the LAST character (Sennrich's end-of-word marker).
+- Pair counts are per adjacent POSITION (a word "aaa"(x n) contributes
+  2n to pair (a,a)).
+- Best pair = max count, ties broken by lexicographically smallest
+  (left, right) — Python/Spark/DuckDB all compare strings bytewise on
+  this ASCII-safe symbol alphabet.
+- A merge applies greedily left-to-right, non-overlapping: in a run of
+  k consecutive matches every odd-indexed one merges. The fold below
+  implements exactly that, because a just-merged symbol ``left+right``
+  can never equal ``left`` again (it is strictly longer).
+- Learning stops early when no adjacent pair remains.
+
+Encoding reuses the same machinery: the merge ranks replay over the
+DISTINCT-word table (one fold-scan per merge round, lineage cut every
+``checkpoint_every`` rounds so expression depth stays bounded), then
+documents join the encoded vocabulary — the corpus-sized side is
+touched by one explode + one hash join, never by the merge replay.
+
+The reference engine has no tokenizer; this is part of the
+training-data pipeline surface the round brief makes first-class.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dedup import tokens_col
+
+END = "</w>"
+
+
+def _char_symbols(word) -> F.Column:
+    """Word -> [c1, c2, ..., ck + '</w>'] as a native column."""
+    w = F.col(word) if isinstance(word, str) else word
+    return F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.concat(
+            w.substr(i, F.lit(1)),
+            F.when(i == F.length(w), F.lit(END)).otherwise(F.lit("")),
+        ),
+    )
+
+
+def word_census(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(word, n) instance counts — the ONE corpus-sized exchange."""
+    return (
+        docs.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _apply_merge(syms, left: str, right: str) -> F.Column:
+    """Greedy left-to-right non-overlapping (left,right) -> left+right,
+    as one native array fold (see module spec for why the fold is
+    exactly the greedy semantics)."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _pair_census(vocab: DataFrame) -> DataFrame:
+    """(l, r, cnt) adjacent-position pair census over (word, n, syms)."""
+    two = vocab.where(F.size("syms") >= 2)
+    pairs = two.select(
+        F.col("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i.cast("int")).alias("l"),
+                    F.element_at("syms", (i + 1).cast("int")).alias("r"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.l", "p.r").agg(F.sum("n").alias("cnt"))
+
+
+@dataclass
+class BpeResult:
+    merges: list[tuple[str, str, int]]  # (left, right, pair_count) by rank
+    vocab: DataFrame  # (word, n, syms) after all merges
+
+
+def bpe_learn(
+    docs: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> BpeResult:
+    """Learn ``n_merges`` BPE merges over the corpus (may stop early
+    when no pair remains). The per-round argmax is the only driver
+    round-trip — one 1-row TakeOrdered per merge, same pattern as the
+    BSP loop's aggregators."""
+    vocab = word_census(docs, id_col, text_col).select(
+        "word", "n", _char_symbols("word").alias("syms")
+    )
+    vocab = vocab.persist()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            _pair_census(vocab)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((l, r, cnt))
+        nxt = vocab.select(
+            "word", "n", _apply_merge(F.col("syms"), l, r).alias("syms")
+        ).persist()
+        nxt.count()  # materialize before dropping the parent cache
+        vocab.unpersist()
+        vocab = nxt
+    return BpeResult(merges=merges, vocab=vocab)
+
+
+def merges_df(spark: SparkSession, merges: list[tuple[str, str, int]]) -> DataFrame:
+    rows = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, cnt bigint"
+    )
+
+
+def segment_words(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Replay the merge table over a (word, ...) table: adds ``syms``.
+    One fold-scan per merge; lineage cut every ``checkpoint_every``
+    rounds so codegen expression depth stays bounded at real tokenizer
+    sizes (thousands of merges)."""
+    out = words.withColumn("syms", _char_symbols("word"))
+    for i, m in enumerate(merges):
+        out = out.withColumn("syms", _apply_merge(F.col("syms"), m[0], m[1]))
+        if (i + 1) % checkpoint_every == 0:
+            out = out.localCheckpoint(eager=False)
+    return out
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_words, n_subwords) per document under the learned merges.
+
+    The merge replay runs on the distinct-word table only; documents
+    are touched by one explode + one hash join on ``word``.
+    """
+    ex = docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("word"))
+    sizes = segment_words(ex.select("word").distinct(), merges).select(
+        "word", F.size("syms").alias("_k")
+    )
+    per_doc = (
+        ex.join(sizes, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_w"),
+            F.sum("_k").alias("_s"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_w", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("_s", F.lit(0)).cast("bigint").alias("n_subwords"),
+        )
+    )

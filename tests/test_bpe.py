@@ -1,0 +1,134 @@
+"""Distributed BPE learning/encoding vs a pure-Python Sennrich replay.
+
+The Python oracle pins the spec (pipeline/bpe.py): whitespace words,
+char symbols with </w> on the last char, per-position pair counts,
+max-count / lexicographically-smallest tie-break, greedy left-to-right
+non-overlapping merge application.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+from pregel_spark.pipeline.bpe import (
+    END,
+    bpe_encode_stats,
+    bpe_learn,
+    segment_words,
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def py_apply(s, L, R):
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == L and s[i + 1] == R:
+            out.append(L + R)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def py_bpe(texts, n_merges):
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w] += 1
+    vocab = {w: [*w[:-1], w[-1] + END] for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, cnt in words.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            break
+        top = max(pc.values())
+        L, R = sorted(p for p, c in pc.items() if c == top)[0]
+        merges.append((L, R, top))
+        vocab = {w: py_apply(s, L, R) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def rand_texts(seed, n_docs=25):
+    rng = random.Random(seed)
+    base = ["low", "lower", "lowest", "new", "newer", "widest", "wide", "aaa", "aaaa"]
+    return [
+        " ".join(rng.choice(base) for _ in range(rng.randint(0, 15)))
+        for _ in range(n_docs)
+    ]
+
+
+def test_learn_matches_python_oracle(spark):
+    for seed in (0, 1):
+        texts = rand_texts(seed)
+        want_merges, want_vocab = py_bpe(texts, 10)
+        res = bpe_learn(docs_df(spark, list(enumerate(texts))), n_merges=10)
+        assert res.merges == want_merges, seed
+        got_vocab = {r.word: list(r.syms) for r in res.vocab.collect()}
+        assert got_vocab == want_vocab, seed
+        res.vocab.unpersist()
+
+
+def test_early_stop_when_no_pairs(spark):
+    # single-char words -> one symbol each -> no adjacent pairs ever
+    res = bpe_learn(docs_df(spark, [(1, "a b c a")]), n_merges=5)
+    assert res.merges == []
+    assert {r.word: list(r.syms) for r in res.vocab.collect()} == {
+        "a": ["a" + END],
+        "b": ["b" + END],
+        "c": ["c" + END],
+    }
+    res.vocab.unpersist()
+
+
+def test_greedy_run_parity_overlapping_matches(spark):
+    # "aaaa" forces runs of consecutive (a,a) matches: greedy takes
+    # every other -> [aa, aa]; then (aa, aa) etc.
+    texts = ["aaaa aaaa aaa", "aaaaa"]
+    want_merges, want_vocab = py_bpe(texts, 4)
+    res = bpe_learn(docs_df(spark, list(enumerate(texts))), n_merges=4)
+    assert res.merges == want_merges
+    assert {r.word: list(r.syms) for r in res.vocab.collect()} == want_vocab
+    res.vocab.unpersist()
+
+
+def test_encode_stats_and_checkpointed_segmenter(spark):
+    texts = rand_texts(3)
+    docs = docs_df(spark, list(enumerate(texts)))
+    res = bpe_learn(docs, n_merges=12)
+    # low checkpoint_every exercises the lineage-cut path
+    seg = segment_words(
+        res.vocab.select("word"), res.merges, checkpoint_every=3
+    )
+    _, want_vocab = py_bpe(texts, 12)
+    assert {r.word: list(r.syms) for r in seg.collect()} == want_vocab
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords)
+        for r in bpe_encode_stats(docs, res.merges).collect()
+    }
+    want = {}
+    for d, t in enumerate(texts):
+        ws = t.split()
+        want[d] = (len(ws), sum(len(want_vocab[w]) for w in ws))
+    assert got == want
+    res.vocab.unpersist()
+
+
+def test_empty_docs_report_zero(spark):
+    res = bpe_learn(docs_df(spark, [(1, "ab ab"), (2, "")]), n_merges=2)
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords)
+        for r in bpe_encode_stats(
+            docs_df(spark, [(1, "ab ab"), (2, "")]), res.merges
+        ).collect()
+    }
+    assert got == {1: (2, 2), 2: (0, 0)}
+    res.vocab.unpersist()
