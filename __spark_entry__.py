@@ -1173,6 +1173,18 @@ def q_bpe_encode(spark, sf_dir):
     return out
 
 
+def q_nb_lang(spark, sf_dir):
+    """Distributed multinomial Naive Bayes self-classification on the
+    lang labels: training is pure per-class token censuses (the model
+    is vocabulary-sized, never corpus-sized), scoring one hash join +
+    per-doc agg; scores rounded to 6 BEFORE the argmax with a pinned
+    smallest-label tie-break (pipeline/classify.py)."""
+    from pregel_spark.pipeline.classify import nb_score, nb_train
+
+    docs = _docs(spark, sf_dir)
+    return nb_score(docs, nb_train(docs))
+
+
 def q_sketch_count_min(spark, sf_dir):
     """Count-Min sketch (4x256) of the corpus token stream: every
     counter an exact BIGINT the oracle rebuilds from the same md5
@@ -2380,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_strip": q_dup_span_strip,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "nb_lang": q_nb_lang,
         "boilerplate_strip": q_boilerplate_strip,
         "sketch_count_min": q_sketch_count_min,
         "sketch_hll": q_sketch_hll,
@@ -3095,6 +3108,40 @@ FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
         "dup_span_strip": _dup_span_strip_sql(k=8),
         "bpe_merges": _bpe_merges_sql(8),
         "bpe_encode": _bpe_encode_sql(8),
+        "nb_lang": r"""
+WITH inst AS MATERIALIZED (
+    SELECT lang AS label,
+           unnest(string_split_regex(trim(text), '\s+')) AS term
+    FROM documents WHERE length(trim(text)) > 0),
+nd AS MATERIALIZED (SELECT lang AS label, count(*) AS n FROM documents GROUP BY 1),
+ntk AS MATERIALIZED (SELECT label, count(*) AS n FROM inst GROUP BY 1),
+cnt AS MATERIALIZED (SELECT term, label, count(*) AS c FROM inst GROUP BY 1, 2),
+vv AS MATERIALIZED (SELECT count(DISTINCT term) AS v FROM cnt),
+tot AS MATERIALIZED (SELECT sum(n) AS t FROM nd),
+dt AS MATERIALIZED (
+    SELECT doc_id, term, count(*) AS k FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0)
+    GROUP BY 1, 2),
+sc AS MATERIALIZED (
+    SELECT dt.doc_id, nd.label,
+           round(sum(dt.k * (ln(COALESCE(cnt.c, 0) + 1.0) - ln(ntk.n + vv.v)))
+                 + ln(nd.n) - ln(tot.t), 6) AS score
+    FROM dt CROSS JOIN nd CROSS JOIN vv CROSS JOIN tot
+    JOIN ntk ON ntk.label = nd.label
+    LEFT JOIN cnt ON cnt.term = dt.term AND cnt.label = nd.label
+    GROUP BY dt.doc_id, nd.label, nd.n, tot.t),
+emp AS (
+    SELECT d.doc_id, nd.label, round(ln(nd.n) - ln(tot.t), 6) AS score
+    FROM documents d CROSS JOIN nd CROSS JOIN tot
+    WHERE length(trim(d.text)) = 0)
+SELECT doc_id, label, score FROM (
+    SELECT doc_id, label, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, label) AS rn
+    FROM (SELECT * FROM sc UNION ALL SELECT * FROM emp))
+WHERE rn = 1
+""",
         "sketch_count_min": r"""
 WITH toks AS (
     SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

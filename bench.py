@@ -100,6 +100,7 @@ HEADLINE = R3_CORE + [
     "dup_span_strip",
     "bpe_merges",
     "bpe_encode",
+    "nb_lang",
 ]
 # scc_fixture / bowtie_fixture / katz_k4 / topo_levels / scc_condense
 # stay correctness-only: they run on the constant ~60-vertex cyclic

@@ -67,6 +67,7 @@ from .lines import (
 )
 from .spans import duplicate_spans, kgram_occurrences, strip_duplicate_spans
 from .bpe import bpe_encode_stats, bpe_learn, segment_words, word_census
+from .classify import nb_score, nb_train
 from .multimodal import (
     decode_media_batch,
     media_feature_rows,
@@ -88,6 +89,8 @@ __all__ = [
     "strip_duplicate_spans",
     "bpe_encode_stats",
     "bpe_learn",
+    "nb_score",
+    "nb_train",
     "segment_words",
     "word_census",
     "strip_boilerplate",
