@@ -828,6 +828,17 @@ def q_mis(spark, sf_dir):
     return maximal_independent_set(spark, _tri_edges(spark, sf_dir), seed=0)
 
 
+def q_coloring_r4(spark, sf_dir):
+    """Deterministic Jones-Plassmann greedy coloring, first 4 rounds
+    on the circulant customer graph (fixed portable-hash priorities,
+    strict local-max winners, mex colors) — the conflict-free
+    scheduling primitive; partial fixed-round mode is exactly
+    unrollable (graph/coloring.py)."""
+    from pregel_spark.graph.coloring import greedy_coloring
+
+    return greedy_coloring(spark, _tri_edges(spark, sf_dir), seed=0, rounds=4)
+
+
 def q_betweenness_l4(spark, sf_dir):
     """Bounded-distance (<=4 hop) Brandes betweenness from the three
     lexicographically-smallest sources on the circulant customer graph
@@ -1957,6 +1968,63 @@ SELECT id, round FROM ({" UNION ALL ".join(uni)}) z
 """
 
 
+def _coloring_unrolled_sql(rounds: int, edges_sql: str, seed: int = 0) -> str:
+    """Deterministic Jones-Plassmann unrolled: FIXED portable-hash
+    priorities (md5-60 of '<seed>:id', id tie-break via the same
+    '%015x:id' encoding as the MIS oracle), per round strict
+    local-max winners against uncolored neighbors, minimal-excludant
+    color over already-colored neighbors (list-comprehension mex ==
+    the Spark ascending fold)."""
+    h = _H60.format(x=f"('{seed}:' || id)")
+    steps = []
+    uni = ["SELECT id, 0 AS color, 0 AS round FROM iso"]
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+nm{r} AS MATERIALIZED (
+    SELECT ue.u AS id, max(p.p) AS nmax
+    FROM ue JOIN pall p ON p.id = ue.v
+    WHERE ue.u IN (SELECT id FROM lv{r - 1})
+      AND ue.v IN (SELECT id FROM lv{r - 1})
+    GROUP BY ue.u),
+w{r} AS MATERIALIZED (
+    SELECT v.id FROM lv{r - 1} v
+    JOIN pall p ON p.id = v.id
+    LEFT JOIN nm{r} n ON n.id = v.id
+    WHERE n.nmax IS NULL OR p.p > n.nmax),
+used{r} AS MATERIALIZED (
+    SELECT ue.u AS id, list_sort(list(DISTINCT c.color)) AS ncs
+    FROM ue JOIN w{r} w ON w.id = ue.u
+    JOIN col{r - 1} c ON c.id = ue.v
+    GROUP BY ue.u),
+new{r} AS MATERIALIZED (
+    SELECT w.id,
+           CAST(COALESCE(
+               ([i FOR i IN range(0, len(u.ncs) + 2)
+                   IF NOT list_contains(u.ncs, i)])[1], 0) AS INT) AS color,
+           {r} AS round
+    FROM w{r} w LEFT JOIN used{r} u ON u.id = w.id),
+col{r} AS MATERIALIZED (
+    SELECT id, color FROM col{r - 1}
+    UNION ALL SELECT id, color FROM new{r}),
+lv{r} AS MATERIALIZED (
+    SELECT id FROM lv{r - 1}
+    WHERE id NOT IN (SELECT id FROM w{r}))""")
+        uni.append(f"SELECT id, color, round FROM new{r}")
+    return f"""
+WITH e0 AS ({edges_sql}),
+ue AS MATERIALIZED (SELECT src AS u, dst AS v FROM e0 WHERE src <> dst
+       UNION
+       SELECT dst AS u, src AS v FROM e0 WHERE src <> dst),
+allv AS (SELECT src AS id FROM e0 UNION SELECT dst AS id FROM e0),
+lv0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM ue),
+iso AS (SELECT id FROM allv WHERE id NOT IN (SELECT id FROM lv0)),
+pall AS MATERIALIZED (
+    SELECT id, printf('%015x', {h}) || ':' || id AS p FROM lv0),
+col0 AS MATERIALIZED (SELECT id, 0 AS color FROM iso),{",".join(steps)}
+SELECT id, color, round FROM ({" UNION ALL ".join(uni)}) z
+"""
+
+
 def _betweenness_unrolled_sql(depth: int, edges_sql: str, n_sources: int = 3) -> str:
     """Bounded-depth k-source Brandes as unrolled CTEs: ``depth``
     forward levels (frontier scatter + sigma sum + visited anti-join)
@@ -2393,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "nb_lang": q_nb_lang,
+        "coloring_r4": q_coloring_r4,
         "boilerplate_strip": q_boilerplate_strip,
         "sketch_count_min": q_sketch_count_min,
         "sketch_hll": q_sketch_hll,
@@ -3142,6 +3211,7 @@ SELECT doc_id, label, score FROM (
     FROM (SELECT * FROM sc UNION ALL SELECT * FROM emp))
 WHERE rn = 1
 """,
+        "coloring_r4": _coloring_unrolled_sql(4, TRI_EDGES_SQL),
         "sketch_count_min": r"""
 WITH toks AS (
     SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

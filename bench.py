@@ -101,6 +101,7 @@ HEADLINE = R3_CORE + [
     "bpe_merges",
     "bpe_encode",
     "nb_lang",
+    "coloring_r4",
 ]
 # scc_fixture / bowtie_fixture / katz_k4 / topo_levels / scc_condense
 # stay correctness-only: they run on the constant ~60-vertex cyclic

@@ -32,6 +32,7 @@ from .mirrors import exact_mirror_groups, mirror_pairs, outlink_docs
 from .betweenness import betweenness
 from .crawl import crawl_delta, crawl_frontier, incremental_components, rank_shift
 from .mis import maximal_independent_set
+from .coloring import greedy_coloring
 from .redirects import resolve_redirects
 from .structure import (
     adamic_adar,
@@ -116,6 +117,7 @@ __all__ = [
     "resolve_redirects",
     "betweenness",
     "maximal_independent_set",
+    "greedy_coloring",
     "crawl_delta",
     "crawl_frontier",
     "incremental_components",
