@@ -685,6 +685,32 @@ def q_kcore3_r4(spark, sf_dir):
     return res.vertices.select("id")
 
 
+def q_coreness_r3(spark, sf_dir):
+    """First 3 H-index rounds of the core-number fixpoint (fixed-round
+    contract like kcore3_r4): each round is pure integer window+agg
+    arithmetic, so DuckDB unrolls it exactly (graph/kcore.py)."""
+    from pregel_spark.graph import coreness
+
+    res = coreness(spark, _tri_edges(spark, sf_dir), max_rounds=3)
+    return res.vertices.select("id", "coreness")
+
+
+def q_butterflies(spark, sf_dir):
+    """Bipartite 2x2-biclique census over the cocitation view —
+    integer-exact composition on top of the co-link pair table."""
+    from pregel_spark.graph import butterflies
+
+    return butterflies(_edges(spark, sf_dir), "cocitation", max_pivot_degree=100)
+
+
+def q_edge_embed(spark, sf_dir):
+    """Per-edge common-neighbor count + local-bridge flag on the
+    undirected simple graph (graph/structure.py edge_embeddedness)."""
+    from pregel_spark.graph import edge_embeddedness
+
+    return edge_embeddedness(_tri_edges(spark, sf_dir))
+
+
 def q_clustering(spark, sf_dir):
     from pregel_spark.graph import clustering_coefficient
 
@@ -1859,6 +1885,30 @@ SELECT id FROM v{rounds}
 """
 
 
+def _coreness_unrolled_sql(rounds: int, edges_sql: str) -> str:
+    """``rounds`` H-index iterations of the core-number fixpoint
+    (graph/kcore.py coreness with max_rounds=rounds): c0 = degree,
+    c_{i+1}(v) = max over desc-sorted neighbor values of
+    min(rank, value) — pure integer arithmetic, deterministic under
+    sort ties, so it unrolls verbatim."""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+c{i + 1} AS (
+    SELECT t.id, max(least(t.rn, t.val)) AS c
+    FROM (SELECT ue.src AS id, v.c AS val,
+                 row_number() OVER (PARTITION BY ue.src
+                                    ORDER BY v.c DESC) AS rn
+          FROM ue JOIN c{i} v ON v.id = ue.dst) t
+    GROUP BY t.id)""")
+    return f"""
+WITH e0 AS ({edges_sql}),
+{_UE_CTE},
+c0 AS (SELECT src AS id, count(*) AS c FROM ue GROUP BY src),{",".join(steps)}
+SELECT id, c AS coreness FROM c{rounds}
+"""
+
+
 # All reproduce Spark-side operators bit-exactly because those operators
 # hash with the engine-portable 60-bit md5 hash (pipeline/hashing.py).
 
@@ -2427,6 +2477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "host_pagerank_k3": q_host_pagerank_k3,
         "kcore3_r4": q_kcore3_r4,
+        "coreness_r3": q_coreness_r3,
+        "butterflies": q_butterflies,
+        "edge_embed": q_edge_embed,
         "crawl_delta": q_crawl_delta,
         "rank_shift_k3": q_rank_shift_k3,
         "mis": q_mis,
@@ -3048,6 +3101,34 @@ LEFT JOIN tend td ON td.id = v.id
         "host_graph": HOST_EDGES_SQL,
         "host_pagerank_k3": _pagerank_unrolled_sql(3, HOST_EDGES_SQL),
         "kcore3_r4": _kcore_unrolled_sql(3, 4, TRI_EDGES_SQL),
+        "coreness_r3": _coreness_unrolled_sql(3, TRI_EDGES_SQL),
+        "butterflies": f"""
+WITH {edges_cte},
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+piv AS (SELECT src AS v FROM e GROUP BY src HAVING count(*) <= 100),
+nb AS (SELECT e.src AS v, e.dst AS x FROM e JOIN piv ON piv.v = e.src),
+pr AS (SELECT u, w, count(*) AS n_common
+       FROM (SELECT a.x AS u, b.x AS w FROM nb a
+             JOIN nb b ON a.v = b.v AND a.x < b.x) p
+       GROUP BY u, w HAVING count(*) >= 2)
+SELECT count(*) AS n_pairs,
+       COALESCE(CAST(sum((n_common * (n_common - 1)) // 2) AS BIGINT), 0)
+           AS n_butterflies
+FROM pr
+""",
+        "edge_embed": f"""
+WITH e0 AS ({TRI_EDGES_SQL}),
+{_UE_CTE},
+ce AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM ue),
+cn AS (SELECT ce.u, ce.v, count(*) AS n_common
+       FROM ce JOIN ue a ON a.src = ce.u JOIN ue b ON b.src = ce.v
+                        AND a.dst = b.dst
+       GROUP BY ce.u, ce.v)
+SELECT ce.u, ce.v,
+       COALESCE(cn.n_common, 0) AS n_common,
+       (COALESCE(cn.n_common, 0) = 0) AS is_local_bridge
+FROM ce LEFT JOIN cn ON cn.u = ce.u AND cn.v = ce.v
+""",
         "random_walks_l3": _walks_unrolled_sql(3, TRI_EDGES_SQL, 42),
         "dedup_exact": """
 SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n

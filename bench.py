@@ -102,6 +102,9 @@ HEADLINE = R3_CORE + [
     "bpe_encode",
     "nb_lang",
     "coloring_r4",
+    "coreness_r3",
+    "butterflies",
+    "edge_embed",
 ]
 # scc_fixture / bowtie_fixture / katz_k4 / topo_levels / scc_condense
 # stay correctness-only: they run on the constant ~60-vertex cyclic

@@ -20,7 +20,7 @@ from .triangles import k_truss, triangle_count, triangle_count_per_vertex
 from .maxprop import max_propagation
 from .hits import hits, salsa
 from .sssp import shortest_paths
-from .kcore import k_core
+from .kcore import coreness, k_core
 from .neighborhood import (
     effective_diameter,
     harmonic_centrality,
@@ -36,8 +36,10 @@ from .coloring import greedy_coloring
 from .redirects import resolve_redirects
 from .structure import (
     adamic_adar,
+    butterflies,
     clustering_coefficient,
     co_link_pairs,
+    edge_embeddedness,
     degree_assortativity,
     jaccard_pairs,
     modularity,
@@ -89,6 +91,7 @@ __all__ = [
     "salsa",
     "shortest_paths",
     "k_core",
+    "coreness",
     "random_walks",
     "strongly_connected_components",
     "condense",
@@ -105,6 +108,8 @@ __all__ = [
     "minimum_spanning_forest",
     "clustering_coefficient",
     "co_link_pairs",
+    "butterflies",
+    "edge_embeddedness",
     "degree_assortativity",
     "modularity",
     "refine_modularity",

@@ -332,6 +332,97 @@ def co_link_pairs(
     )
 
 
+def butterflies(
+    edges: DataFrame,
+    direction: str = "cocitation",
+    max_pivot_degree: int | None = 100,
+) -> DataFrame:
+    """Butterfly (2x2-biclique / rectangle) census of the directed
+    graph viewed bipartitely as citing-side x cited-side (Wang et al.
+    2019, "Vertex Priority Based Butterfly Counting for Large-scale
+    Bipartite Networks" — the standard cohesion census for host/url,
+    user/page and other two-mode web structures, where triangles
+    cannot exist by construction).
+
+    A butterfly is two same-side vertices sharing two distinct
+    neighbors on the other side. Counting reduces exactly to the
+    co-link pair table: a pair (u, w) with ``n_common`` shared
+    neighbors closes C(n_common, 2) butterflies, so
+
+        n_butterflies = sum over pairs of n_common*(n_common-1)/2
+
+    Returns ONE row ``(n_pairs, n_butterflies)`` — ``n_pairs`` = pairs
+    with >= 2 shared neighbors (each contributes >= 1 butterfly).
+    ``direction`` picks the side being paired, as in
+    ``co_link_pairs``: 'cocitation' pairs cited pages over shared
+    citing pivots; 'coupling' pairs citing pages over shared cited
+    pivots.
+
+    Scale: inherits ``co_link_pairs``'s pivot-degree cutoff — the
+    Σ deg² fan-out is capped at E·d, and the census on top is one
+    map-side-combinable aggregation to a single row. Pure integer
+    arithmetic end to end (DIV 2 on an even product), so the census
+    is engine-portable with no rounding.
+    """
+    pairs = co_link_pairs(
+        edges, direction=direction, min_common=2, max_pivot_degree=max_pivot_degree
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.expr("(n_common * (n_common - 1)) DIV 2")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_butterflies"),
+    )
+
+
+def edge_embeddedness(edges: DataFrame) -> DataFrame:
+    """Per-edge embeddedness on the undirected simple graph: for every
+    canonical edge (u < v), the number of common neighbors
+    (= triangles through the edge), and whether the edge is a LOCAL
+    BRIDGE — an edge whose endpoints share no neighbors, so deleting
+    it lengthens the u–v distance beyond 2 (Granovetter 1973 via
+    Easley & Kleinberg ch. 3; on web graphs these are the
+    cross-community links that tie otherwise-disjoint clusters).
+
+    Returns ``(u, v, n_common, is_local_bridge)`` for EVERY undirected
+    edge, embeddedness-0 edges included — those are the bridges.
+
+    Scale: one arboricity-bounded triangle enumeration (the
+    degree-ordered wedge join from ``triangles.py`` — never a hub
+    fan-out), a 3-way edge-credit union + count, and a left join back
+    onto the O(E) canonical edge set. Integer-exact.
+    """
+    from .engine import materialize
+    from .triangles import _triangles
+
+    ce = materialize(
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    tris = materialize(_triangles(edges))
+    credits = (
+        tris.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .unionByName(
+            tris.select(F.least("u", "w").alias("u"), F.greatest("u", "w").alias("v"))
+        )
+        .unionByName(
+            tris.select(F.least("v", "w").alias("u"), F.greatest("v", "w").alias("v"))
+        )
+    )
+    sup = credits.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n_common"))
+    return ce.join(sup, ["u", "v"], "left_outer").select(
+        "u",
+        "v",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        (F.coalesce("n_common", F.lit(0)) == 0).alias("is_local_bridge"),
+    )
+
+
 def modularity(
     edges: DataFrame, labels: DataFrame, label_col: str = "label"
 ) -> DataFrame:

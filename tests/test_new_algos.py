@@ -451,3 +451,106 @@ def test_lpa_rejects_unknown_mode(spark):
         label_propagation(
             spark, _edf(spark, [("a", "b")]), max_iter=1, mode="fronteir"
         )
+
+
+# --------------------------- coreness ----------------------------------
+
+
+def _sym_nbrs(pairs):
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    return nbrs
+
+
+def _hindex(vals):
+    h = 0
+    for i, x in enumerate(sorted(vals, reverse=True), 1):
+        if x >= i:
+            h = i
+        else:
+            break
+    return h
+
+
+def coreness_oracle(pairs, max_rounds=None):
+    """H-index fixpoint (Lu et al. 2016) — converges to core numbers."""
+    nbrs = _sym_nbrs(pairs)
+    c = {v: len(nbrs[v]) for v in nbrs}
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
+        nxt = {v: _hindex([c[u] for u in nbrs[v]]) for v in nbrs}
+        if nxt == c:
+            break
+        c = nxt
+    return c
+
+
+def test_coreness_clique_bridge(spark):
+    from pregel_spark.graph import coreness
+
+    res = coreness(spark, edges_df(spark, CLIQUE_BRIDGE))
+    got = {r["id"]: r["coreness"] for r in res.vertices.collect()}
+    want = coreness_oracle(CLIQUE_BRIDGE)
+    assert got == want
+    assert res.converged
+    # K5 members have core number 4
+    assert all(got[f"v{i}"] == 4 for i in range(5))
+
+
+def test_coreness_random_matches_both_oracles(spark):
+    from pregel_spark.graph import coreness
+
+    rng = np.random.default_rng(7)
+    pairs = sorted(
+        {(f"n{a}", f"n{b}") for a, b in rng.integers(0, 60, size=(260, 2)) if a != b}
+    )
+    got = {
+        r["id"]: r["coreness"]
+        for r in coreness(spark, edges_df(spark, pairs)).vertices.collect()
+    }
+    want = coreness_oracle(pairs)
+    assert got == want
+    # cross-check the H-index fixpoint against the independent peel
+    peel = _peel_coreness(pairs)
+    assert want == peel
+
+
+def _peel_coreness(pairs):
+    """Textbook O(V+E) bucket peel (Batagelj-Zaversnik)."""
+    nbrs = _sym_nbrs(pairs)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    core = {}
+    order = sorted(deg, key=lambda v: (deg[v], v))
+    cur = dict(deg)
+    import heapq as _hq
+
+    h = [(d, v) for v, d in deg.items()]
+    _hq.heapify(h)
+    seen = set()
+    k = 0
+    while h:
+        d, v = _hq.heappop(h)
+        if v in seen or d > cur[v]:
+            continue
+        seen.add(v)
+        k = max(k, cur[v])
+        core[v] = k
+        for u in nbrs[v]:
+            if u not in seen:
+                cur[u] -= 1
+                _hq.heappush(h, (cur[u], u))
+    return core
+
+
+def test_coreness_bounded_rounds_match_hindex_iteration(spark):
+    from pregel_spark.graph import coreness
+
+    # long path: degrees 1/2 -> H-index needs several rounds to settle
+    pairs = [(f"p{i}", f"p{i+1}") for i in range(12)]
+    res = coreness(spark, edges_df(spark, pairs), max_rounds=2)
+    got = {r["id"]: r["coreness"] for r in res.vertices.collect()}
+    assert got == coreness_oracle(pairs, max_rounds=2)

@@ -323,3 +323,95 @@ def test_refine_modularity_isolated_vertex_keeps_label(spark):
     )
     got = {r.id: r.label for r in refine_modularity(e, labels).collect()}
     assert got["lonely"] == "9" and len(got) == 3
+
+
+def test_butterflies_two_by_two_biclique(spark):
+    from pregel_spark.graph import butterflies
+
+    # p1,p2 each cite q1,q2 -> the cited pair (q1,q2) shares 2 pivots
+    # -> C(2,2)=1 butterfly in cocitation view
+    e = edges_df(spark, [("p1", "q1"), ("p1", "q2"), ("p2", "q1"), ("p2", "q2")])
+    row = butterflies(e, "cocitation").collect()[0]
+    assert (row.n_pairs, row.n_butterflies) == (1, 1)
+    # coupling view is symmetric here: (p1,p2) share q1,q2
+    row2 = butterflies(e, "coupling").collect()[0]
+    assert (row2.n_pairs, row2.n_butterflies) == (1, 1)
+
+
+def test_butterflies_empty_when_no_shared_pairs(spark):
+    from pregel_spark.graph import butterflies
+
+    e = edges_df(spark, [("a", "x"), ("b", "y")])
+    row = butterflies(e).collect()[0]
+    assert (row.n_pairs, row.n_butterflies) == (0, 0)
+
+
+def test_butterflies_random_vs_brute(spark):
+    import itertools
+    from collections import defaultdict
+
+    import numpy as np
+
+    from pregel_spark.graph import butterflies
+
+    rng = np.random.default_rng(11)
+    pairs = sorted(
+        {(f"u{a}", f"w{b}") for a, b in rng.integers(0, 12, size=(60, 2))}
+    )
+    nbrs = defaultdict(set)  # cited -> set of citing pivots? cocitation:
+    # pivots are citing (src); pair the cited (dst)
+    piv = defaultdict(set)
+    for s, d in pairs:
+        piv[s].add(d)
+    common = defaultdict(int)
+    for s, ds in piv.items():
+        for u, w in itertools.combinations(sorted(ds), 2):
+            common[(u, w)] += 1
+    want_bf = sum(c * (c - 1) // 2 for c in common.values() if c >= 2)
+    want_pairs = sum(1 for c in common.values() if c >= 2)
+    row = butterflies(edges_df(spark, pairs), "cocitation").collect()[0]
+    assert (row.n_pairs, row.n_butterflies) == (want_pairs, want_bf)
+
+
+def test_edge_embeddedness_triangle_with_pendant(spark):
+    from pregel_spark.graph import edge_embeddedness
+
+    e = edges_df(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    got = {
+        (r.u, r.v): (r.n_common, r.is_local_bridge)
+        for r in edge_embeddedness(e).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, False),
+        ("a", "c"): (1, False),
+        ("b", "c"): (1, False),
+        ("c", "d"): (0, True),
+    }
+
+
+def test_edge_embeddedness_random_vs_brute(spark):
+    from collections import defaultdict
+
+    import numpy as np
+
+    from pregel_spark.graph import edge_embeddedness
+
+    rng = np.random.default_rng(5)
+    pairs = sorted(
+        {(f"n{a}", f"n{b}") for a, b in rng.integers(0, 25, size=(90, 2)) if a != b}
+    )
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    want = {}
+    for a, b in pairs:
+        u, v = min(a, b), max(a, b)
+        if (u, v) not in want:
+            c = len(nbrs[u] & nbrs[v])
+            want[(u, v)] = (c, c == 0)
+    got = {
+        (r.u, r.v): (r.n_common, r.is_local_bridge)
+        for r in edge_embeddedness(edges_df(spark, pairs)).collect()
+    }
+    assert got == want
