@@ -784,6 +784,30 @@ def q_katz_k4(spark, sf_dir):
     ).select("id", F.round("katz", 6).alias("katz"))
 
 
+def q_eigenvector_k4(spark, sf_dir):
+    """Truncated eigenvector centrality (4-step power iteration from
+    all-ones) over the cyclic bowtie graph: the un-normalized iterate
+    is the BIGINT-exact length-4 walk census; the only float op is the
+    final cnt/total division (graph/katz.py eigenvector_centrality)."""
+    from pregel_spark.graph import eigenvector_centrality
+
+    _register_views(spark, sf_dir)
+    return eigenvector_centrality(
+        spark, spark.sql(BOWTIE_EDGES_SQL), k=4
+    ).select("id", F.round("score", 6).alias("score"))
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient spectrum of the undirected link graph:
+    exact (n_k, e_k) suffix censuses per degree threshold, one IEEE
+    division per row (graph/structure.py rich_club)."""
+    from pregel_spark.graph import rich_club
+
+    return rich_club(_edges(spark, sf_dir)).select(
+        "k", "n_k", "e_k", F.round("phi", 6).alias("phi")
+    )
+
+
 def q_anf_r3(spark, sf_dir):
     """ANF neighborhood function (3 rounds, k=4 FM sketches) over the
     symmetrized link graph: exact BIGINT sketch statistic per round,
@@ -2539,6 +2563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "jaccard_pairs": q_jaccard,
         "katz_k4": q_katz_k4,
+        "eigenvector_k4": q_eigenvector_k4,
+        "rich_club": q_rich_club,
         "anf_r3": q_anf_r3,
         "mst_boruvka": q_mst,
         "kmeans_k4": q_kmeans,
@@ -3672,6 +3698,53 @@ FROM v LEFT JOIN c1 ON c1.id = v.id
        LEFT JOIN c2 ON c2.id = v.id
        LEFT JOIN c3 ON c3.id = v.id
        LEFT JOIN c4 ON c4.id = v.id
+""",
+        # same walk-census CTEs as katz_k4; the score is the single
+        # IEEE division of two exact BIGINTs (level-4 count / total)
+        "eigenvector_k4": f"""
+WITH e0 AS ({BOWTIE_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e
+                               UNION ALL SELECT dst AS id FROM e) vu),
+c1 AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY dst),
+c2 AS (SELECT e.dst AS id, CAST(sum(c1.c) AS BIGINT) AS c
+       FROM e JOIN c1 ON c1.id = e.src GROUP BY e.dst),
+c3 AS (SELECT e.dst AS id, CAST(sum(c2.c) AS BIGINT) AS c
+       FROM e JOIN c2 ON c2.id = e.src GROUP BY e.dst),
+c4 AS (SELECT e.dst AS id, CAST(sum(c3.c) AS BIGINT) AS c
+       FROM e JOIN c3 ON c3.id = e.src GROUP BY e.dst),
+t AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS tot FROM c4)
+SELECT v.id,
+       round(CASE WHEN t.tot = 0 THEN 0.0
+             ELSE CAST(COALESCE(c4.c, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE)
+             END, 6) AS score
+FROM v LEFT JOIN c4 ON c4.id = v.id CROSS JOIN t
+""",
+        # exact suffix censuses over the two degree histograms; DuckDB
+        # decorrelates the scalar subqueries into joins — fine at
+        # oracle scale (the engine side uses windowed suffix sums
+        # instead, see graph/structure.py rich_club)
+        "rich_club": f"""
+WITH e0 AS ({EDGES_SQL}),
+sym AS (SELECT src, dst FROM e0
+        UNION ALL SELECT dst AS src, src AS dst FROM e0),
+ue AS (SELECT DISTINCT src, dst FROM sym WHERE src <> dst),
+half AS (SELECT src, dst FROM ue WHERE src < dst),
+deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        FROM ue GROUP BY src),
+em AS (SELECT least(d1.deg, d2.deg) AS m
+       FROM half h JOIN deg d1 ON d1.id = h.src
+                   JOIN deg d2 ON d2.id = h.dst),
+ks AS (SELECT unnest(generate_series(
+           0, (SELECT CAST(max(deg) AS INT) - 1 FROM deg))) AS k),
+cnts AS (SELECT ks.k,
+                (SELECT count(*) FROM deg WHERE deg.deg > ks.k) AS n_k,
+                (SELECT count(*) FROM em WHERE em.m > ks.k) AS e_k
+         FROM ks)
+SELECT k, n_k, e_k,
+       round(2.0 * CAST(e_k AS DOUBLE)
+             / CAST(n_k * (n_k - 1) AS DOUBLE), 6) AS phi
+FROM cnts WHERE n_k >= 2
 """,
         # closed-form MST of the re-weighted circulant (see
         # MST_EDGES_SQL): all cheap path edges + per break the cheaper

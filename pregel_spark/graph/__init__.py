@@ -44,11 +44,12 @@ from .structure import (
     jaccard_pairs,
     modularity,
     powerlaw_alpha,
+    rich_club,
     reciprocity,
     refine_modularity,
 )
 from .anf import anf, anf_effective_diameter
-from .katz import katz_centrality
+from .katz import eigenvector_centrality, katz_centrality
 from .mst import minimum_spanning_forest
 from .walks import random_walks
 from .mutations import (
@@ -105,6 +106,7 @@ __all__ = [
     "anf",
     "anf_effective_diameter",
     "katz_centrality",
+    "eigenvector_centrality",
     "minimum_spanning_forest",
     "clustering_coefficient",
     "co_link_pairs",
@@ -114,6 +116,7 @@ __all__ = [
     "modularity",
     "refine_modularity",
     "powerlaw_alpha",
+    "rich_club",
     "reciprocity",
     "spam_mass",
     "outlink_docs",

@@ -35,23 +35,17 @@ from .build import vertices_from_edges
 from .engine import bsp_loop_confs, materialize
 
 
-def katz_centrality(
-    spark: SparkSession,
-    edges: DataFrame,
-    alpha: float = 0.05,
-    k: int = 4,
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """(id, katz) for every vertex of the directed simple graph.
-
-    ``katz`` is the fixed-order polynomial over exact per-level walk
-    counts (module docstring); vertices no walk reaches score 0.0.
+def _walk_levels(
+    spark: SparkSession, edges: DataFrame, k: int, n_part: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """(vertices, [level-1..level-k walk-count tables]) for the directed
+    simple graph: level l holds (id, cnt) = exact BIGINT count of
+    directed walks of length l ending at id (vertices no walk reaches
+    are absent — callers 0-fill via left join). Each level is one
+    co-located equi-join (edges static on ``src``, counts re-keyed to
+    ``src``) plus a map-side-partial ``groupBy(dst).sum``; k levels =
+    k shuffles of at most O(V) count rows.
     """
-    if not 1 <= k <= 16:
-        raise ValueError(f"k must be in [1, 16], got {k}")
-    n_part = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
     with bsp_loop_confs(spark):
         e = materialize(
             edges.select("src", "dst").distinct().repartition(n_part, "src")
@@ -72,6 +66,27 @@ def katz_centrality(
                 .repartition(n_part, "id")
             )
             levels.append(cur)
+    return verts, levels
+
+
+def katz_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    alpha: float = 0.05,
+    k: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, katz) for every vertex of the directed simple graph.
+
+    ``katz`` is the fixed-order polynomial over exact per-level walk
+    counts (module docstring); vertices no walk reaches score 0.0.
+    """
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    verts, levels = _walk_levels(spark, edges, k, n_part)
     out = verts
     terms = []
     for lvl, cdf in enumerate(levels, start=1):
@@ -87,3 +102,51 @@ def katz_centrality(
     for t in terms[1:]:
         score = score + t
     return out.select("id", score.alias("katz"))
+
+
+def eigenvector_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, score) truncated eigenvector centrality of the directed
+    simple graph: k steps of the power iteration ``x <- A^T x`` from
+    the all-ones vector, L1-normalized at the end.
+
+    With an integer start, the un-normalized iterate is exactly the
+    walk census — ``x_k(v) = #(directed walks of length k ending at
+    v)`` — so the whole iteration runs in BIGINT (the same per-level
+    tables Katz consumes, ``_walk_levels``) and the ONLY float op is
+    the final ``cnt / Σcnt``: one IEEE division of two exact 64-bit
+    integers, bit-identical in any engine. Normalizing per-step (the
+    textbook formulation) would instead thread a float through every
+    join, making the result order-dependent; deferring the single
+    normalization to the end is algebraically identical because the
+    map is linear. Vertices no length-k walk reaches score 0.0; if NO
+    length-k walk exists (DAG shallower than k) every score is 0.0
+    rather than a 0/0 NaN.
+
+    Same overflow headroom caveat as Katz (counts < V·maxdeg^k).
+    Scale: k co-located O(V)-row joins against the statically
+    partitioned edge table — identical plan shape to ``pagerank``'s
+    superstep, minus the driver convergence action.
+    """
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    verts, levels = _walk_levels(spark, edges, k, n_part)
+    last = levels[-1]
+    total = last.agg(F.sum("cnt").alias("t")).collect()[0]["t"] or 0
+    out = verts.join(last, "id", "left_outer")
+    if total == 0:
+        return out.select("id", F.lit(0.0).alias("score"))
+    return out.select(
+        "id",
+        (
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+            / F.lit(float(total))
+        ).alias("score"),
+    )

@@ -415,3 +415,57 @@ def test_edge_embeddedness_random_vs_brute(spark):
         for r in edge_embeddedness(edges_df(spark, pairs)).collect()
     }
     assert got == want
+
+
+def _brute_rich_club(pairs):
+    ue = set()
+    for a, b in pairs:
+        if a != b:
+            ue.add((min(a, b), max(a, b)))
+    deg = {}
+    for a, b in ue:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out = {}
+    for k in range(0, max(deg.values())):
+        nk = sum(1 for v in deg.values() if v > k)
+        if nk < 2:
+            continue
+        ek = sum(1 for a, b in ue if deg[a] > k and deg[b] > k)
+        out[k] = (nk, ek, 2.0 * ek / (nk * (nk - 1)))
+    return out
+
+
+def test_rich_club_clique_plus_pendants(spark):
+    from pregel_spark.graph import rich_club
+
+    # triangle hub-clique a-b-c, each with one pendant
+    pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("a", "pa"), ("b", "pb"), ("c", "pc"),
+    ]
+    e = edges_df(spark, pairs)
+    got = {r.k: (r.n_k, r.e_k, r.phi) for r in rich_club(e).collect()}
+    # k=0: all 6 nodes, all 6 edges; k=1: only the clique remains
+    assert got[0] == (6, 6, pytest.approx(2 * 6 / 30))
+    assert got[1] == (3, 3, pytest.approx(1.0))
+    assert got[2] == (3, 3, pytest.approx(1.0))
+    assert max(got) == 2  # thresholds stop below max_deg=3
+
+
+def test_rich_club_matches_brute_force_on_random_graph(spark):
+    import random
+
+    from pregel_spark.graph import rich_club
+
+    rng = random.Random(11)
+    pairs = [
+        (f"v{rng.randrange(25)}", f"v{rng.randrange(25)}") for _ in range(90)
+    ]
+    e = edges_df(spark, pairs)
+    got = {r.k: (r.n_k, r.e_k, r.phi) for r in rich_club(e).collect()}
+    want = _brute_rich_club(pairs)
+    assert set(got) == set(want)
+    for k, (nk, ek, phi) in want.items():
+        assert got[k][0] == nk and got[k][1] == ek, k
+        assert got[k][2] == pytest.approx(phi), k
