@@ -797,6 +797,18 @@ def q_eigenvector_k4(spark, sf_dir):
     ).select("id", F.round("score", 6).alias("score"))
 
 
+def q_pseudo_diameter(spark, sf_dir):
+    """Double-sweep BFS diameter lower bound on the undirected bowtie
+    fixture (graph/sssp.py pseudo_diameter): exact integer hop counts;
+    max_iter=20 > the fixture's eccentricity 19, so both waves run to
+    frontier exhaustion and the oracle's fixed 20-round unroll is the
+    converged fixpoint."""
+    from pregel_spark.graph import pseudo_diameter
+
+    _register_views(spark, sf_dir)
+    return pseudo_diameter(spark, spark.sql(BOWTIE_EDGES_SQL), max_iter=20)
+
+
 def q_rich_club(spark, sf_dir):
     """Rich-club coefficient spectrum of the undirected link graph:
     exact (n_k, e_k) suffix censuses per degree threshold, one IEEE
@@ -1859,6 +1871,57 @@ SELECT id, round(dist, 6) AS dist FROM d{k} WHERE dist IS NOT NULL
 """
 
 
+def _bfs_sweep_ctes(prefix: str, k: int, source_expr: str) -> str:
+    """k unit-weight BFS relaxation rounds over the shared symmetrized
+    CTEs ``ue``/``v`` from a scalar-subquery source — one sweep of the
+    pseudo_diameter oracle (same min-plus recurrence as
+    _sssp_unrolled_sql with weight 1)."""
+    # every round CTE is referenced twice (gather + carry-forward); at
+    # 20 chained rounds un-materialized inlining re-evaluates the
+    # prefix 2^i times — MATERIALIZED makes each round run exactly once
+    parts = [
+        f"""
+{prefix}0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source_expr}
+                   THEN CAST(0.0 AS DOUBLE) END AS dist FROM v)"""
+    ]
+    for i in range(k):
+        parts.append(f"""
+{prefix}m{i} AS MATERIALIZED (SELECT ue.dst AS id, min(s.dist + 1.0) AS md
+        FROM ue JOIN {prefix}{i} s ON s.id = ue.src
+        WHERE s.dist IS NOT NULL GROUP BY ue.dst),
+{prefix}{i + 1} AS MATERIALIZED (SELECT d.id,
+              CASE WHEN d.dist IS NULL THEN m.md
+                   WHEN m.md IS NULL THEN d.dist
+                   ELSE least(d.dist, m.md) END AS dist
+       FROM {prefix}{i} d LEFT JOIN {prefix}m{i} m ON m.id = d.id)""")
+    return ",".join(parts)
+
+
+def _pseudo_diameter_sql(k: int, edges_sql: str) -> str:
+    """Two chained _bfs_sweep_ctes sweeps: sweep a from min(id), the
+    deterministic argmax hop (dist DESC, id ASC LIMIT 1), sweep b from
+    there; k rounds must exceed both eccentricities (fixture-pinned)."""
+    # MATERIALIZED: every BFS round references ue — inlined, DuckDB
+    # would re-open the fixture parquet ~2k times and trip ulimit -n
+    return f"""
+WITH e0 AS ({edges_sql}),
+sym AS (SELECT src, dst FROM e0
+        UNION ALL SELECT dst AS src, src AS dst FROM e0),
+ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym WHERE src <> dst),
+v AS MATERIALIZED (SELECT DISTINCT src AS id FROM ue),
+{_bfs_sweep_ctes("a", k, "(SELECT min(id) FROM v)")},
+far AS (SELECT id, dist FROM a{k} WHERE dist IS NOT NULL
+        ORDER BY dist DESC, id ASC LIMIT 1),
+{_bfs_sweep_ctes("b", k, "(SELECT id FROM far)")}
+SELECT (SELECT min(id) FROM v) AS start_id,
+       CAST((SELECT dist FROM far) AS INT) AS start_ecc,
+       (SELECT id FROM far) AS far_id,
+       CAST((SELECT max(dist) FROM b{k}) AS INT) AS far_ecc,
+       greatest(CAST((SELECT dist FROM far) AS INT),
+                CAST((SELECT max(dist) FROM b{k}) AS INT)) AS diameter_lb
+"""
+
+
 def _walks_unrolled_sql(walk_length: int, edges_sql: str, seed: int) -> str:
     """``walk_length`` deterministic walk hops (graph/walks.py with
     walks_per_vertex=1): sorted-distinct adjacency, next =
@@ -2565,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_k4": q_katz_k4,
         "eigenvector_k4": q_eigenvector_k4,
         "rich_club": q_rich_club,
+        "pseudo_diameter": q_pseudo_diameter,
         "anf_r3": q_anf_r3,
         "mst_boruvka": q_mst,
         "kmeans_k4": q_kmeans,
@@ -3720,6 +3784,7 @@ SELECT v.id,
              END, 6) AS score
 FROM v LEFT JOIN c4 ON c4.id = v.id CROSS JOIN t
 """,
+        "pseudo_diameter": _pseudo_diameter_sql(20, BOWTIE_EDGES_SQL),
         # exact suffix censuses over the two degree histograms; DuckDB
         # decorrelates the scalar subqueries into joins — fine at
         # oracle scale (the engine side uses windowed suffix sums

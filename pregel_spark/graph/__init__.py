@@ -19,7 +19,7 @@ from .lpa import label_propagation
 from .triangles import k_truss, triangle_count, triangle_count_per_vertex
 from .maxprop import max_propagation
 from .hits import hits, salsa
-from .sssp import shortest_paths
+from .sssp import pseudo_diameter, shortest_paths
 from .kcore import coreness, k_core
 from .neighborhood import (
     effective_diameter,
@@ -117,6 +117,7 @@ __all__ = [
     "refine_modularity",
     "powerlaw_alpha",
     "rich_club",
+    "pseudo_diameter",
     "reciprocity",
     "spam_mass",
     "outlink_docs",

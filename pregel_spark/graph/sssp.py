@@ -387,3 +387,60 @@ def shortest_paths_indexed(
         metrics=metrics,
         run_id=run_id,
     )
+
+
+def pseudo_diameter(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 32,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Double-sweep BFS diameter lower bound of the undirected simple
+    graph (Magnien, Latapy & Habib 2009 — the standard web-graph
+    diameter estimator): BFS from a deterministic start (the minimum
+    vertex id), hop to the farthest reached vertex (ties broken by
+    minimum id), BFS again from there; ``diameter_lb = max`` of the
+    two eccentricities. Exact on trees; a tight lower bound in
+    practice on web graphs. Returns ONE row
+    (start_id, start_ecc, far_id, far_ecc, diameter_lb) — integer hop
+    counts, eccentricities WITHIN the start's component (unreachable
+    vertices are excluded, per :func:`shortest_paths` NULL semantics).
+
+    Plan: two frontier Bellman-Ford waves (unit weights == BFS) over
+    the same statically partitioned edge cache, plus three
+    driver-scalar round-trips (min-id source, argmax hop, final max)
+    — the same documented scalar-pick idiom as the SSSP bench source.
+    ``max_iter`` caps each wave; callers must size it >= the true
+    eccentricity (the waves stop early at frontier exhaustion, so the
+    cap only bites on pathological chains; contract fixtures pin it).
+    """
+    e = edges.select("src", "dst").withColumn("weight", F.lit(1.0))
+    src1 = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .agg(F.min("id").alias("m"))
+        .collect()[0]["m"]
+    )
+    r1 = shortest_paths(
+        spark, e, [src1], max_iter=max_iter, directed=False,
+        num_partitions=num_partitions,
+    )
+    far = (
+        r1.vertices.filter(F.col("dist").isNotNull())
+        .orderBy(F.col("dist").desc(), F.col("id").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    r2 = shortest_paths(
+        spark, e, [far["id"]], max_iter=max_iter, directed=False,
+        num_partitions=num_partitions,
+    )
+    ecc2 = (
+        r2.vertices.agg(F.max("dist").alias("m")).collect()[0]["m"] or 0.0
+    )
+    ecc1, ecc2 = int(far["dist"]), int(ecc2)
+    return spark.createDataFrame(
+        [(src1, ecc1, far["id"], ecc2, max(ecc1, ecc2))],
+        "start_id string, start_ecc int, far_id string, far_ecc int,"
+        " diameter_lb int",
+    )

@@ -554,3 +554,30 @@ def test_coreness_bounded_rounds_match_hindex_iteration(spark):
     res = coreness(spark, edges_df(spark, pairs), max_rounds=2)
     got = {r["id"]: r["coreness"] for r in res.vertices.collect()}
     assert got == coreness_oracle(pairs, max_rounds=2)
+
+
+def test_pseudo_diameter_path_graph_exact(spark):
+    # path a-b-c-d-e: double sweep is exact on trees -> diameter 4
+    from pregel_spark.graph import pseudo_diameter
+
+    e = edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    row = pseudo_diameter(spark, e).collect()[0]
+    assert row.start_id == "a"
+    assert row.start_ecc == 4 and row.far_id == "e"
+    assert row.far_ecc == 4 and row.diameter_lb == 4
+
+
+def test_pseudo_diameter_cycle_and_disconnected(spark):
+    # 6-cycle (diameter 3) plus a far-away disconnected pair: the
+    # second component never contaminates the eccentricities
+    from pregel_spark.graph import pseudo_diameter
+
+    cyc = [("c0", "c1"), ("c1", "c2"), ("c2", "c3"),
+           ("c3", "c4"), ("c4", "c5"), ("c5", "c0")]
+    e = edges_df(spark, cyc + [("z1", "z2")])
+    row = pseudo_diameter(spark, e).collect()[0]
+    assert row.start_id == "c0"
+    assert row.start_ecc == 3
+    # argmax tie-break: min id among the dist-3 vertices of c0 -> c3
+    assert row.far_id == "c3"
+    assert row.far_ecc == 3 and row.diameter_lb == 3
