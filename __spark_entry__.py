@@ -155,6 +155,30 @@ FROM customer
 WHERE c_custkey + 2 <= (SELECT max(c_custkey) FROM customer)
 """
 
+# temporal-edge fixture: each order is one observation of the
+# c_k -> c_{k+1} arc at the order date (several orders per customer ->
+# parallel arcs with different timestamps, exactly what makes the
+# problem temporal). The day number is engine-portable arithmetic
+# (year/month/day exist identically in Spark SQL and DuckDB; 372 > any
+# month*31 span keeps it strictly monotone in the calendar date)
+TEMPORAL_EDGES_SQL = """
+SELECT 'c' || CAST(o_custkey AS STRING) AS src,
+       'c' || CAST(o_custkey + 1 AS STRING) AS dst,
+       CAST((year(o_orderdate) - 1992) * 372 + (month(o_orderdate) - 1) * 31
+            + day(o_orderdate) AS DOUBLE) AS t
+FROM orders
+WHERE o_custkey + 1 <= (SELECT max(o_custkey) FROM orders)
+"""
+
+# 4-clique fixture: circulant offsets {1,2,3} over customers -- every
+# consecutive quadruple is a K4 (n-3 of them), nothing else is
+QUAD_EDGES_SQL = """
+SELECT 'c' || CAST(c_custkey AS STRING) AS src,
+       'c' || CAST(c_custkey + k.o AS STRING) AS dst
+FROM customer, (SELECT 1 AS o UNION ALL SELECT 2 UNION ALL SELECT 3) k
+WHERE c_custkey + k.o <= (SELECT max(c_custkey) FROM customer)
+"""
+
 # weighted circulant over customers: multi-hop chains with varied
 # positive integer weights — the SSSP fixture (both engines derive it
 # from this same text; weights depend only on the source key, so the
@@ -709,6 +733,32 @@ def q_edge_embed(spark, sf_dir):
     from pregel_spark.graph import edge_embeddedness
 
     return edge_embeddedness(_tri_edges(spark, sf_dir))
+
+
+def q_temporal_reach_k6(spark, sf_dir):
+    """Time-respecting earliest arrival (graph/temporal.py) from every
+    source whose id ends in '0', start time 0, capped at 6 supersteps —
+    monotone relaxation makes the k-capped run equal the 6-round
+    unrolled DuckDB oracle exactly (same argument as sssp_k8)."""
+    from pregel_spark.graph import earliest_arrival
+
+    _register_views(spark, sf_dir)
+    tedges = spark.sql(TEMPORAL_EDGES_SQL)
+    sources = tedges.filter("src LIKE '%0'").select(F.col("src").alias("id"))
+    res = earliest_arrival(spark, tedges, sources, t0=0.0, max_iter=6)
+    return res.vertices.filter(F.col("arrival").isNotNull()).select(
+        "id", F.round("arrival", 6).alias("arrival")
+    )
+
+
+def q_four_cliques(spark, sf_dir):
+    """K4 census on the quad circulant (graph/triangles.four_cliques);
+    the oracle is the naive 6-way canonical-pair join, the engine the
+    orientation-anchored triangle extension -- same single number."""
+    from pregel_spark.graph import four_cliques
+
+    _register_views(spark, sf_dir)
+    return four_cliques(spark.sql(QUAD_EDGES_SQL))
 
 
 def q_clustering(spark, sf_dir):
@@ -1871,6 +1921,33 @@ SELECT id, round(dist, 6) AS dist FROM d{k} WHERE dist IS NOT NULL
 """
 
 
+def _temporal_unrolled_sql(k: int, edges_sql: str) -> str:
+    """k earliest-arrival relaxation rounds from the LIKE-'%0' source
+    set at t0=0 (min-t over FEASIBLE edges each round == graph/
+    temporal.py's frontier variant after k supersteps; monotone, so
+    the cap is exact). Unreached rows are dropped."""
+    steps = []
+    for i in range(k):
+        steps.append(f"""
+tm{i} AS (SELECT e0.dst AS id, min(e0.t) AS ma
+          FROM e0 JOIN ta{i} ON ta{i}.id = e0.src AND e0.t >= ta{i}.arrival
+          WHERE ta{i}.arrival IS NOT NULL GROUP BY e0.dst),
+ta{i + 1} AS (SELECT a.id,
+                     CASE WHEN a.arrival IS NULL THEN m.ma
+                          WHEN m.ma IS NULL THEN a.arrival
+                          ELSE least(a.arrival, m.ma) END AS arrival
+              FROM ta{i} a LEFT JOIN tm{i} m ON m.id = a.id)""")
+    return f"""
+WITH e0 AS ({edges_sql}),
+v AS (SELECT src AS id FROM e0 UNION SELECT dst AS id FROM e0),
+s0 AS (SELECT DISTINCT src AS id FROM e0 WHERE src LIKE '%0'),
+ta0 AS (SELECT v.id, CASE WHEN s0.id IS NOT NULL
+                          THEN CAST(0.0 AS DOUBLE) END AS arrival
+        FROM v LEFT JOIN s0 ON s0.id = v.id),{",".join(steps)}
+SELECT id, round(arrival, 6) AS arrival FROM ta{k} WHERE arrival IS NOT NULL
+"""
+
+
 def _bfs_sweep_ctes(prefix: str, k: int, source_expr: str) -> str:
     """k unit-weight BFS relaxation rounds over the shared symmetrized
     CTEs ``ue``/``v`` from a scalar-subquery source — one sweep of the
@@ -2566,6 +2643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore3_r4": q_kcore3_r4,
         "coreness_r3": q_coreness_r3,
         "butterflies": q_butterflies,
+        "temporal_reach_k6": q_temporal_reach_k6,
+        "four_cliques": q_four_cliques,
         "edge_embed": q_edge_embed,
         "crawl_delta": q_crawl_delta,
         "rank_shift_k3": q_rank_shift_k3,
@@ -3090,6 +3169,20 @@ SELECT c.id, mx.mv AS value FROM comp c JOIN mx ON mx.component = c.component
         "hits_k5": _hits_unrolled_sql(5, EDGES_SQL),
         "salsa_k4": _salsa_unrolled_sql(4, EDGES_SQL),
         "sssp_k8": _sssp_unrolled_sql(8, W_EDGES_SQL, "c0"),
+        "temporal_reach_k6": _temporal_unrolled_sql(6, TEMPORAL_EDGES_SQL),
+        "four_cliques": f"""
+WITH e0 AS ({QUAD_EDGES_SQL}),
+sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS x,
+                           greatest(src, dst) AS y
+     FROM sym WHERE src <> dst)
+SELECT count(*) AS n_quads
+FROM ue ab JOIN ue ac ON ac.x = ab.x JOIN ue ad ON ad.x = ab.x
+JOIN ue bc ON bc.x = ab.y AND bc.y = ac.y
+JOIN ue bd ON bd.x = ab.y AND bd.y = ad.y
+JOIN ue cd ON cd.x = ac.y AND cd.y = ad.y
+WHERE ab.y < ac.y AND ac.y < ad.y
+""",
         "sssp_k8_indexed": _sssp_unrolled_sql(8, W_EDGES_SQL, "c0"),
         "anchor_terms_k3": f"""
 WITH a AS ({ANCHOR_SQL}),

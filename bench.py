@@ -105,6 +105,8 @@ HEADLINE = R3_CORE + [
     "coreness_r3",
     "butterflies",
     "edge_embed",
+    "temporal_reach_k6",
+    "four_cliques",
 ]
 # scc_fixture / bowtie_fixture / katz_k4 / topo_levels / scc_condense
 # stay correctness-only: they run on the constant ~60-vertex cyclic

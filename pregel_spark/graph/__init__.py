@@ -16,7 +16,12 @@ from .engine import Pregel, PregelResult
 from .pagerank import PreparedGraph, pagerank, prepare_graph, spam_mass
 from .components import connected_components, connected_components_star
 from .lpa import label_propagation
-from .triangles import k_truss, triangle_count, triangle_count_per_vertex
+from .triangles import (
+    four_cliques,
+    k_truss,
+    triangle_count,
+    triangle_count_per_vertex,
+)
 from .maxprop import max_propagation
 from .hits import hits, salsa
 from .sssp import pseudo_diameter, shortest_paths
@@ -52,6 +57,7 @@ from .anf import anf, anf_effective_diameter
 from .katz import eigenvector_centrality, katz_centrality
 from .mst import minimum_spanning_forest
 from .walks import random_walks
+from .temporal import earliest_arrival
 from .mutations import (
     add_edges,
     add_vertices,
@@ -77,6 +83,8 @@ __all__ = [
     "undirect",
     "vertex_sample_pred",
     "Pregel",
+    "earliest_arrival",
+    "four_cliques",
     "PregelResult",
     "PreparedGraph",
     "pagerank",

@@ -207,3 +207,47 @@ def k_truss(
             F.greatest("a", "b").alias("v"),
             "support",
         )
+
+
+def four_cliques(edges: DataFrame) -> DataFrame:
+    """Global 4-clique (K4) census as a 1-row DataFrame (n_quads) —
+    the next motif up from triangles (tetrahedral density, a standard
+    cohesion signal next to ``butterflies``' bipartite 4-cycles;
+    reference scope: §2.9 analytics extras).
+
+    Shape: extend each enumerated triangle (u, v, w) by the pivot's
+    ORIENTED out-neighbors ``d`` (one join, fan-out bounded by the
+    orientation's arboricity guarantee — never a hub's full
+    adjacency), then two semi-joins against the canonical pair set
+    check {v, d} and {w, d}; semi-joins only shrink. Exactness of the
+    divisor: in a K4 with orientation order a < b < c < d, the faces
+    pivot at a, a, a, b; a face extends only through an oriented
+    pivot->x edge, so the three a-pivot faces each find the K4 once
+    (a precedes everything) and the b-pivot face {b,c,d} never does
+    (its extender would need the nonexistent oriented b->a edge) —
+    every K4 is counted exactly 3 times, so the census divides by 3.
+    Exact on the quad fixture (n-3 consecutive quadruples), matched by
+    the 6-way canonical-pair DuckDB oracle.
+    """
+    from .engine import materialize
+
+    tris = _triangles(edges)
+    ce = _oriented(edges)
+    canon = materialize(
+        ce.select(
+            F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+        )
+    )
+    ext = tris.join(
+        ce.select(F.col("src").alias("u"), F.col("dst").alias("d")), "u"
+    ).filter((F.col("d") != F.col("v")) & (F.col("d") != F.col("w")))
+    closed = ext.join(
+        canon,
+        (F.least("v", "d") == F.col("x")) & (F.greatest("v", "d") == F.col("y")),
+        "left_semi",
+    ).join(
+        canon,
+        (F.least("w", "d") == F.col("x")) & (F.greatest("w", "d") == F.col("y")),
+        "left_semi",
+    )
+    return closed.agg((F.count(F.lit(1)) / 3).cast("long").alias("n_quads"))
