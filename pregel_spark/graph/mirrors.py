@@ -92,11 +92,22 @@ def mirror_pairs(
     ``dedup.minhash_lsh_pairs``, quantified in BASELINE.md). One
     shingle per edge, so signature cost scales with |E| like
     ``dedup_minhash`` scales with corpus shingle volume."""
+    from .engine import materialize
+
     docs = outlink_docs(edges, min_out, max_out)
     if collapse_exact:
         docs = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
             "doc_id", "text"
         )
+    # checkpoint the adjacency documents: minhash_lsh_pairs references
+    # its docs input ~3x (signatures + both verify sides) and here each
+    # reference re-runs the collect_set groupBy (+ the exact-collapse
+    # groupBy) over the full edge table — O(V) narrow rows, the same
+    # table a 100 TB run would persist before an LSH sweep. (The
+    # pipeline's own document corpus is NOT checkpointed there: a
+    # parquet re-scan is cheaper than persisting wide shingle arrays —
+    # measured +6s on dedup_minhash at sf0.1.)
+    docs = materialize(docs)
     return minhash_lsh_pairs(
         docs,
         threshold=threshold,

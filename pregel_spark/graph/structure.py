@@ -169,7 +169,16 @@ def adamic_adar(
     in E. n_common is integer-exact; aa_score is a small float sum
     (round it at the contract boundary).
     """
-    ue = undirect(edges).select("src", "dst")
+    from .engine import materialize
+
+    # checkpoint the symmetrized simple-edge set and the wedge input:
+    # ue feeds the degree census, the wedge join, and the adjacency
+    # anti-join, nbrs both wedge sides — left lazy, each reference
+    # re-runs the symmetrize+distinct exchange (measured: 10 parquet
+    # scans / 36 aggregates in one sf0.01 plan, zero ReusedExchange).
+    # Both are O(E) narrow rows, the standard persist-before-self-join
+    # trade (cf. triangles._oriented)
+    ue = materialize(undirect(edges).select("src", "dst"))
     deg = _udeg(ue)
     # a degree-1 center has a single neighbor and closes no pair:
     # dropping it shrinks the wedge input AND removes the 1/ln(1)
@@ -181,7 +190,7 @@ def adamic_adar(
     )
     if max_center_degree is not None:
         centers = centers.filter(F.col("dv") <= max_center_degree)
-    nbrs = (
+    nbrs = materialize(
         ue.select(F.col("src").alias("v"), F.col("dst").alias("x"))
         .join(centers, "v")
         .select("v", "x", (1.0 / F.log(F.col("dv").cast("double"))).alias("inv_ln"))
@@ -232,8 +241,13 @@ def jaccard_pairs(
     centers ≤ E·cutoff); the two degree lookups are O(V) hash joins
     on the pair endpoints.
     """
-    ue = undirect(edges).select("src", "dst")
-    deg = _udeg(ue)
+    from .engine import materialize
+
+    # same multi-reference checkpoints as adamic_adar (ue: degree
+    # census + wedge + anti-join + two denominator lookups; nbrs:
+    # both wedge sides; deg: centers + both denominators)
+    ue = materialize(undirect(edges).select("src", "dst"))
+    deg = materialize(_udeg(ue))
     # degree-1 centers close no pair — prune them (see adamic_adar)
     centers = (
         deg.withColumnRenamed("id", "v")
@@ -242,7 +256,7 @@ def jaccard_pairs(
     )
     if max_center_degree is not None:
         centers = centers.filter(F.col("dv") <= max_center_degree)
-    nbrs = (
+    nbrs = materialize(
         ue.select(F.col("src").alias("v"), F.col("dst").alias("x"))
         .join(centers.select("v"), "v")
     )
@@ -312,7 +326,11 @@ def co_link_pairs(
         piv, item = "dst", "src"
     else:
         raise ValueError(f"direction must be 'cocitation' or 'coupling': {direction}")
-    e = (
+    from .engine import materialize
+
+    # same multi-reference checkpoints as adamic_adar (e: pivot census
+    # + neighbor list; nb: both sides of the pivot self-join)
+    e = materialize(
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
@@ -320,7 +338,9 @@ def co_link_pairs(
     pivots = e.groupBy(F.col(piv).alias("v")).agg(F.count(F.lit(1)).alias("pdeg"))
     if max_pivot_degree is not None:
         pivots = pivots.filter(F.col("pdeg") <= max_pivot_degree)
-    nb = e.select(F.col(piv).alias("v"), F.col(item).alias("x")).join(pivots, "v")
+    nb = materialize(
+        e.select(F.col(piv).alias("v"), F.col(item).alias("x")).join(pivots, "v")
+    )
     a = nb.select("v", F.col("x").alias("u"))
     b = nb.select("v", F.col("x").alias("w"))
     return (
