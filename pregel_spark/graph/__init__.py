@@ -9,6 +9,7 @@ from .build import (
     degrees,
     edges_from_pages,
     sample_subgraph,
+    temporal_edges_from_pages,
     undirect,
     vertex_sample_pred,
 )
@@ -80,6 +81,7 @@ __all__ = [
     "degrees",
     "edges_from_pages",
     "sample_subgraph",
+    "temporal_edges_from_pages",
     "undirect",
     "vertex_sample_pred",
     "Pregel",

@@ -336,3 +336,31 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
         .groupBy("kind", "bin")
         .agg(F.count(F.lit(1)).alias("n_vertices"))
     )
+
+
+def temporal_edges_from_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, ...) -> temporal edges (src, dst, t):
+    one row per (link, crawl observation), ``t`` the page's ``warc_ts``
+    as epoch seconds (double). The direct input to
+    :func:`~pregel_spark.graph.temporal.earliest_arrival` — a recrawled
+    page contributes one arc per snapshot, which is exactly the
+    parallel-arc multiplicity foremost-journey semantics expects
+    (the feasibility filter + min-combiner absorb duplicates; no
+    dedup here, unlike :func:`edges_from_pages`).
+
+    Same single Arrow-batched UDF + explode shape as
+    :func:`edges_from_pages`; self-links dropped. At 100 TB this is
+    one map-side pass over the pages table — no shuffle at all until
+    the BSP loop repartitions the result once.
+    """
+    return (
+        pages.select(
+            F.col("url").alias("src"),
+            # warc_ts may be TIMESTAMP_NTZ (parquet default), which has
+            # no direct numeric cast — hop through TIMESTAMP first
+            F.col("warc_ts").cast("timestamp").cast("double").alias("t"),
+            F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "t")
+    )

@@ -124,3 +124,34 @@ def test_four_cliques_none(spark):
     pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a")]
     df = edges_df(spark, pairs)
     assert four_cliques(df).collect()[0]["n_quads"] == 0
+
+
+def test_temporal_edges_from_pages(spark, tmp_path):
+    # crawl corpus -> temporal arcs: same links as edges_from_pages,
+    # each stamped with its page's warc_ts; recrawls would add arcs
+    from pregel_spark.corpus import write_pages
+    from pregel_spark.graph import (
+        earliest_arrival,
+        edges_from_pages,
+        temporal_edges_from_pages,
+    )
+    from pyspark.sql import functions as F
+
+    p = write_pages(str(tmp_path / "pages.parquet"), n_pages=120, seed=3)
+    pages = spark.read.parquet(p)
+    te = temporal_edges_from_pages(pages)
+    assert te.columns == ["src", "dst", "t"]
+    # arc set matches the static extraction (this corpus has no
+    # duplicate links within a page, so multiplicities line up too)
+    static = {(r["src"], r["dst"]) for r in edges_from_pages(pages).collect()}
+    temporal = {(r["src"], r["dst"]) for r in te.collect()}
+    assert temporal == static
+    # every t is the page's own warc_ts
+    ts = {r["url"]: r["warc_ts"].timestamp() for r in pages.collect()}
+    for r in te.collect():
+        assert r["t"] == ts[r["src"]]
+    # and the composition runs end-to-end
+    src0 = te.agg(F.min("src").alias("m")).collect()[0]["m"]
+    res = earliest_arrival(spark, te, [src0], t0=0.0)
+    assert res.converged
+    assert res.vertices.filter(F.col("arrival").isNotNull()).count() >= 1
