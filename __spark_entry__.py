@@ -761,6 +761,17 @@ def q_four_cliques(spark, sf_dir):
     return four_cliques(spark.sql(QUAD_EDGES_SQL))
 
 
+def q_louvain_l2(spark, sf_dir):
+    """Two-level integer-exact Louvain on the circulant fixture
+    (graph/louvain.py): fixed 2-rounds-per-level schedule with the
+    portable hash60 move-parity gate, so the 2-level unrolled DuckDB
+    oracle replicates every move bit-exactly."""
+    from pregel_spark.graph import louvain
+
+    res = louvain(spark, _tri_edges(spark, sf_dir), levels=2, rounds=2)
+    return res.select("id", "label")
+
+
 def q_clustering(spark, sf_dir):
     from pregel_spark.graph import clustering_coefficient
 
@@ -1948,6 +1959,99 @@ SELECT id, round(arrival, 6) AS arrival FROM ta{k} WHERE arrival IS NOT NULL
 """
 
 
+def _louvain_round_ctes(pfx: str, prev: str, ws: str, lp: str, v: str, parity: int) -> str:
+    """One weighted integer-exact local-move round (graph/louvain.py's
+    local_move_round) as MATERIALIZED CTEs: weighted degree incl.
+    2*self-weight, integer score 2m*k - d*sig', stay-biased argmax,
+    and the hash60-parity move gate. Emits ``{pfx}`` = new labels."""
+    h60 = "(('0x' || substr(md5(p.id), 1, 15))::UBIGINT::BIGINT)"
+    return f"""
+{pfx}deg AS MATERIALIZED (
+  SELECT vv.id, COALESCE(d.sw, 0) + 2 * COALESCE(l.c, 0) AS deg
+  FROM {v} vv
+  LEFT JOIN (SELECT src AS id, SUM(w) AS sw FROM {ws} GROUP BY src) d ON d.id = vv.id
+  LEFT JOIN {lp} l ON l.id = vv.id),
+{pfx}m AS MATERIALIZED (
+  SELECT (SELECT COALESCE(SUM(w), 0) // 2 FROM {ws})
+       + (SELECT COALESCE(SUM(c), 0) FROM {lp}) AS m),
+{pfx}sig AS MATERIALIZED (
+  SELECT p.label, SUM(d.deg) AS sig
+  FROM {prev} p JOIN {pfx}deg d ON d.id = p.id GROUP BY p.label),
+{pfx}k AS MATERIALIZED (
+  SELECT e.src AS id, p.label AS cand, SUM(e.w) AS k
+  FROM {ws} e JOIN {prev} p ON p.id = e.dst GROUP BY e.src, p.label),
+{pfx}cands AS MATERIALIZED (
+  SELECT id, cand, MAX(k) AS k FROM (
+    SELECT id, cand, k FROM {pfx}k
+    UNION ALL SELECT id, label AS cand, 0 AS k FROM {prev}) u
+  GROUP BY id, cand),
+{pfx}scored AS MATERIALIZED (
+  SELECT c.id, c.cand, p.label AS cur, d.deg AS d, c.k,
+         s.sig - CASE WHEN c.cand = p.label THEN d.deg ELSE 0 END AS sigx
+  FROM {pfx}cands c
+  JOIN {prev} p ON p.id = c.id
+  JOIN {pfx}deg d ON d.id = c.id
+  JOIN {pfx}sig s ON s.label = c.cand),
+{pfx}pick AS MATERIALIZED (
+  SELECT id, cand, ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+           2 * mm.m * k - d * sigx DESC,
+           CASE WHEN cand = cur THEN 0 ELSE 1 END ASC,
+           cand ASC) AS rn
+  FROM {pfx}scored CROSS JOIN {pfx}m mm),
+{pfx} AS MATERIALIZED (
+  SELECT p.id, CASE WHEN {h60} % 2 = {parity} THEN w.cand ELSE p.label END AS label
+  FROM {prev} p JOIN (SELECT id, cand FROM {pfx}pick WHERE rn = 1) w ON w.id = p.id)"""
+
+
+def _louvain_unrolled_sql(edges_sql: str, rounds: int = 2) -> str:
+    """Two Louvain levels of ``rounds`` local-move rounds each
+    (graph/louvain.py's fixed schedule): weighted-simple fold of the
+    arc fixture, level-1 rounds from singletons, contraction (intra
+    weight + carried self-weights fold into supervertex self-weight),
+    level-2 rounds, then the vertex->community map-down. All integer
+    arithmetic; the hash60 parity gate replicates exactly."""
+    parts = [f"""e0 AS ({edges_sql}),
+arcs AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+wp1 AS MATERIALIZED (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v, COUNT(*) AS w
+  FROM arcs WHERE src <> dst GROUP BY 1, 2),
+ws1 AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM wp1
+                     UNION ALL SELECT v, u, w FROM wp1),
+lp1 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS c FROM arcs
+                     WHERE src = dst GROUP BY src),
+v1 AS MATERIALIZED (SELECT DISTINCT src AS id FROM ws1
+                    UNION SELECT id FROM lp1),
+a0 AS MATERIALIZED (SELECT id, id AS label FROM v1)"""]
+    for r in range(rounds):
+        parts.append(_louvain_round_ctes(f"a{r + 1}", f"a{r}", "ws1", "lp1", "v1", r % 2))
+    af = f"a{rounds}"
+    parts.append(f"""cm AS MATERIALIZED (
+  SELECT e.w, pa.label AS ga, pb.label AS gb
+  FROM ws1 e JOIN {af} pa ON pa.id = e.src JOIN {af} pb ON pb.id = e.dst
+  WHERE e.src < e.dst),
+wp2 AS MATERIALIZED (
+  SELECT least(ga, gb) AS u, greatest(ga, gb) AS v, SUM(w) AS w
+  FROM cm WHERE ga <> gb GROUP BY 1, 2),
+ws2 AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM wp2
+                     UNION ALL SELECT v, u, w FROM wp2),
+lp2 AS MATERIALIZED (
+  SELECT id, SUM(c) AS c FROM (
+    SELECT ga AS id, SUM(w) AS c FROM cm WHERE ga = gb GROUP BY ga
+    UNION ALL
+    SELECT p.label AS id, SUM(l.c) AS c FROM lp1 l
+    JOIN {af} p ON p.id = l.id GROUP BY p.label) u GROUP BY id),
+v2 AS MATERIALIZED (SELECT DISTINCT src AS id FROM ws2
+                    UNION SELECT id FROM lp2),
+b0 AS MATERIALIZED (SELECT id, id AS label FROM v2)""")
+    for r in range(rounds):
+        parts.append(_louvain_round_ctes(f"b{r + 1}", f"b{r}", "ws2", "lp2", "v2", r % 2))
+    bf = f"b{rounds}"
+    return f"""
+WITH {",".join(parts)}
+SELECT a.id, b.label FROM {af} a JOIN {bf} b ON b.id = a.label
+"""
+
+
 def _bfs_sweep_ctes(prefix: str, k: int, source_expr: str) -> str:
     """k unit-weight BFS relaxation rounds over the shared symmetrized
     CTEs ``ue``/``v`` from a scalar-subquery source — one sweep of the
@@ -2645,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies": q_butterflies,
         "temporal_reach_k6": q_temporal_reach_k6,
         "four_cliques": q_four_cliques,
+        "louvain_l2": q_louvain_l2,
         "edge_embed": q_edge_embed,
         "crawl_delta": q_crawl_delta,
         "rank_shift_k3": q_rank_shift_k3,
@@ -3170,6 +3275,7 @@ SELECT c.id, mx.mv AS value FROM comp c JOIN mx ON mx.component = c.component
         "salsa_k4": _salsa_unrolled_sql(4, EDGES_SQL),
         "sssp_k8": _sssp_unrolled_sql(8, W_EDGES_SQL, "c0"),
         "temporal_reach_k6": _temporal_unrolled_sql(6, TEMPORAL_EDGES_SQL),
+        "louvain_l2": _louvain_unrolled_sql(TRI_EDGES_SQL, rounds=2),
         "four_cliques": f"""
 WITH e0 AS ({QUAD_EDGES_SQL}),
 sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),

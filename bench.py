@@ -107,6 +107,7 @@ HEADLINE = R3_CORE + [
     "edge_embed",
     "temporal_reach_k6",
     "four_cliques",
+    "louvain_l2",
 ]
 # scc_fixture / bowtie_fixture / katz_k4 / topo_levels / scc_condense
 # stay correctness-only: they run on the constant ~60-vertex cyclic

@@ -59,6 +59,7 @@ from .katz import eigenvector_centrality, katz_centrality
 from .mst import minimum_spanning_forest
 from .walks import random_walks
 from .temporal import earliest_arrival
+from .louvain import local_move_round, louvain, modularity_weighted
 from .mutations import (
     add_edges,
     add_vertices,
@@ -86,6 +87,9 @@ __all__ = [
     "vertex_sample_pred",
     "Pregel",
     "earliest_arrival",
+    "local_move_round",
+    "louvain",
+    "modularity_weighted",
     "four_cliques",
     "PregelResult",
     "PreparedGraph",
