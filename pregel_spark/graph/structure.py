@@ -171,13 +171,16 @@ def adamic_adar(
     """
     from .engine import materialize
 
-    # checkpoint the symmetrized simple-edge set and the wedge input:
-    # ue feeds the degree census, the wedge join, and the adjacency
-    # anti-join, nbrs both wedge sides — left lazy, each reference
-    # re-runs the symmetrize+distinct exchange (measured: 10 parquet
-    # scans / 36 aggregates in one sf0.01 plan, zero ReusedExchange).
-    # Both are O(E) narrow rows, the standard persist-before-self-join
-    # trade (cf. triangles._oriented)
+    # checkpoint the symmetrized simple-edge set ONLY: ue feeds the
+    # degree census, the wedge input, and the adjacency anti-join —
+    # left lazy, each reference re-runs the symmetrize+distinct
+    # exchange (measured: 10 parquet scans / 36 aggregates in one
+    # sf0.01 plan, zero ReusedExchange; interleaved sf0.1 A/B:
+    # 12.7s -> 6.9s). The wedge input itself stays lazy: from the
+    # checkpointed ue it is one projection+join per side, and
+    # checkpointing it too measured SLOWER (8.3s) — an eager block
+    # write of near-O(E) rows buys back less than it costs when the
+    # recompute is this cheap. Same trade as triangles._oriented
     ue = materialize(undirect(edges).select("src", "dst"))
     deg = _udeg(ue)
     # a degree-1 center has a single neighbor and closes no pair:
@@ -190,7 +193,7 @@ def adamic_adar(
     )
     if max_center_degree is not None:
         centers = centers.filter(F.col("dv") <= max_center_degree)
-    nbrs = materialize(
+    nbrs = (
         ue.select(F.col("src").alias("v"), F.col("dst").alias("x"))
         .join(centers, "v")
         .select("v", "x", (1.0 / F.log(F.col("dv").cast("double"))).alias("inv_ln"))
@@ -243,9 +246,10 @@ def jaccard_pairs(
     """
     from .engine import materialize
 
-    # same multi-reference checkpoints as adamic_adar (ue: degree
-    # census + wedge + anti-join + two denominator lookups; nbrs:
-    # both wedge sides; deg: centers + both denominators)
+    # same ue-only checkpoint policy as adamic_adar (ue: degree census
+    # + wedge + anti-join + two denominator lookups; deg is O(V) tiny
+    # so cutting it too is cheap); the wedge input stays lazy — see
+    # adamic_adar's measured rationale
     ue = materialize(undirect(edges).select("src", "dst"))
     deg = materialize(_udeg(ue))
     # degree-1 centers close no pair — prune them (see adamic_adar)
@@ -256,7 +260,7 @@ def jaccard_pairs(
     )
     if max_center_degree is not None:
         centers = centers.filter(F.col("dv") <= max_center_degree)
-    nbrs = materialize(
+    nbrs = (
         ue.select(F.col("src").alias("v"), F.col("dst").alias("x"))
         .join(centers.select("v"), "v")
     )
@@ -326,11 +330,13 @@ def co_link_pairs(
         piv, item = "dst", "src"
     else:
         raise ValueError(f"direction must be 'cocitation' or 'coupling': {direction}")
-    from .engine import materialize
-
-    # same multi-reference checkpoints as adamic_adar (e: pivot census
-    # + neighbor list; nb: both sides of the pivot self-join)
-    e = materialize(
+    # deliberately NO checkpoints here (unlike adamic_adar): the arc
+    # table feeds only the pivot census and the neighbor list, and the
+    # interleaved sf0.1 A/B measured lazy 4.3-5.6s vs 10.3-10.6s with
+    # either subtree checkpointed — two references to a cheap
+    # distinct-scan recompute beat an eager O(E) block write, and the
+    # identical self-join sides share their exchange
+    e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
@@ -338,9 +344,7 @@ def co_link_pairs(
     pivots = e.groupBy(F.col(piv).alias("v")).agg(F.count(F.lit(1)).alias("pdeg"))
     if max_pivot_degree is not None:
         pivots = pivots.filter(F.col("pdeg") <= max_pivot_degree)
-    nb = materialize(
-        e.select(F.col(piv).alias("v"), F.col(item).alias("x")).join(pivots, "v")
-    )
+    nb = e.select(F.col(piv).alias("v"), F.col(item).alias("x")).join(pivots, "v")
     a = nb.select("v", F.col("x").alias("u"))
     b = nb.select("v", F.col("x").alias("w"))
     return (
