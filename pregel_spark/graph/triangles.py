@@ -250,4 +250,7 @@ def four_cliques(edges: DataFrame) -> DataFrame:
         (F.least("w", "d") == F.col("x")) & (F.greatest("w", "d") == F.col("y")),
         "left_semi",
     )
-    return closed.agg((F.count(F.lit(1)) / 3).cast("long").alias("n_quads"))
+    # integer DIV, not float /: the census is exactly divisible by 3,
+    # and a double quotient silently loses exactness above 2^53 —
+    # reachable for clique counts on dense subgraphs at corpus scale
+    return closed.agg(F.expr("count(1) DIV 3").cast("long").alias("n_quads"))
