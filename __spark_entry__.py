@@ -499,7 +499,9 @@ def q_modularity(spark, sf_dir):
         "label",
         "intra_edges",
         "deg_sum",
-        F.round("contrib", 6).alias("contrib"),
+        # + 0.0 normalizes IEEE -0.0 (a tiny negative rounded to zero)
+        # to +0.0 so the byte-level value hash agrees across engines.
+        (F.round("contrib", 6) + F.lit(0.0)).alias("contrib"),
     )
 
 
@@ -3228,7 +3230,7 @@ intra AS (SELECT la.label, count(*) AS intra_edges
           WHERE la.label = lb.label GROUP BY la.label)
 SELECT d.label, COALESCE(i.intra_edges, 0) AS intra_edges, d.deg_sum,
        round(COALESCE(i.intra_edges, 0) / m.m
-             - (d.deg_sum / (2 * m.m)) * (d.deg_sum / (2 * m.m)), 6) AS contrib
+             - (d.deg_sum / (2 * m.m)) * (d.deg_sum / (2 * m.m)), 6) + 0.0 AS contrib
 FROM degsum d LEFT JOIN intra i ON i.label = d.label CROSS JOIN m
 """,
         # integer-exact local-move argmax: score 2m*k - d*sig' (= gain

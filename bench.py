@@ -120,6 +120,34 @@ def force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_ticks():
+    """First `/proc/stat` cpu line as ints; None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts and parts[0] == "cpu":
+            return [int(x) for x in parts[1:]]
+    except OSError:
+        pass
+    return None
+
+
+def _steal_pct(before, after):
+    """Hypervisor steal %% over the window (field 8 of the cpu line).
+
+    Emitted into BENCH_r*.json so a contended artifact is
+    self-describing — the round-2 "CC 2x regression" took a whole round
+    to attribute to a 20-24%% steal window (BASELINE.md); now the
+    number rides along with every run."""
+    if before is None or after is None:
+        return None
+    d = [a - b for a, b in zip(after, before)]
+    total = sum(d)
+    if total <= 0 or len(d) < 8:
+        return None
+    return round(100.0 * d[7] / total, 2)
+
+
 def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark(
@@ -136,6 +164,7 @@ def main():
     from pregel_spark.graph import pagerank
 
     res = None
+    ticks0 = _cpu_ticks()
     for name in HEADLINE:
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.monotonic()
@@ -173,6 +202,7 @@ def main():
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pagerank": extra,
                 "cpus": CPUS,
+                "steal_pct": _steal_pct(ticks0, _cpu_ticks()),
             }
         )
     )

@@ -112,8 +112,34 @@ def materialize(df: DataFrame) -> DataFrame:
     joins/aggregations on ``key`` with NO new exchange. The loops below
     rely on this. Inherited plan statistics are clamped — see
     :func:`_clamp_checkpoint_stats` for the BigInt-squaring stall this
-    prevents."""
-    return _clamp_checkpoint_stats(df.localCheckpoint(eager=True))
+    prevents.
+
+    AQE caveat (measured, round 4): the guarantee above holds only
+    when the checkpoint is PLANNED with AQE off — an
+    ``AdaptiveSparkPlanExec``-wrapped checkpoint yields a
+    ``LogicalRDD`` with ``UnknownPartitioning``, so a loop-static
+    table materialized outside :func:`bsp_loop_confs` was silently
+    re-exchanged on EVERY superstep (the temporal loop's 2.4 GB/step
+    plateau — the whole link table, shipped 13 times). When the plan
+    root is an explicit ``RepartitionByExpression`` the fixed-count
+    hash exchange is the point of the query and AQE has nothing to
+    optimize (it never coalesces a user repartition), so this plans it
+    with AQE off and keeps the metadata. Non-repartition roots keep
+    AQE (skew-join handling in the heavy one-shot checkpoints)."""
+    spark = df.sparkSession
+    root = df._jdf.queryExecution().logical().getClass().getSimpleName()
+    if (
+        root == "RepartitionByExpression"
+        and spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    ):
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            out = df.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+    else:
+        out = df.localCheckpoint(eager=True)
+    return _clamp_checkpoint_stats(out)
 
 
 def shuffle_totals(spark: SparkSession) -> tuple[int, int] | None:

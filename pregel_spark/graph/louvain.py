@@ -111,7 +111,11 @@ def local_move_round(
     lab = labels.select("id", F.col("label").alias("_lbl"))
     deg = _wdeg(sym, loops)
     m_df = sym.agg(
-        ((F.coalesce(F.sum("w"), F.lit(0)) / 2).cast("long")).alias("_me")
+        # integer DIV, not float '/': '/' goes through a double, which
+        # loses exactness once total edge weight exceeds 2^53 — the
+        # same hazard four_cliques fixed with DIV. sum(w) is even by
+        # symmetry, so DIV 2 is exact at any scale.
+        F.expr("coalesce(sum(w), 0L) div 2").alias("_me")
     ).crossJoin(
         loops.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("_mc"))
     ).select((F.col("_me") + F.col("_mc")).alias("_m"))

@@ -14,8 +14,10 @@ mapping of the textbook algorithm:
   ``dist + w`` messages, so per-superstep shuffle volume tracks the
   wave of relaxations instead of staying O(E) — message volume is
   O(edges out of the frontier), the textbook Pregel win;
-- the min-combiner (A1) is ``groupBy(dst).min`` with map-side partial
-  aggregation, so hub fan-in collapses before the shuffle;
+- the min-combiner (A1) is a ``groupBy(id).min`` with map-side partial
+  aggregation, so hub fan-in collapses before the shuffle — FUSED with
+  the state merge (see ``_relax``): raw relaxations and carried state
+  rows share one union + aggregation, one exchange, no sorts;
 - the loop-carried state is the VISITED set only — O(reached), not
   O(V). The first 100M-edge protocol run carried a full O(V) dist
   table and spent 17-25s per superstep materializing ~94M mostly-NULL
@@ -24,9 +26,9 @@ mapping of the textbook algorithm:
   one final ``verts LEFT JOIN dist`` projection. At 10^12 documents a
   BFS wave touches a tiny fraction of the graph for many supersteps —
   per-superstep cost must track the wave, in state size as well as in
-  message volume. The state grows via a self-partitioned FULL OUTER
-  join with the combined messages (both sides hash-partitioned on the
-  key, no extra exchange);
+  message volume. The state grows through the fused merge aggregation
+  — newly reached vertices are the rows whose carried ``_old`` is
+  NULL;
 - termination = empty frontier (the reference's ``__messages == 0``
   rule, ``pregel/master.lua``): Bellman-Ford relaxation is monotone,
   so extra supersteps after quiescence are no-ops — which is what
@@ -41,7 +43,7 @@ from __future__ import annotations
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..tableio import CheckpointManager
 from .build import vertices_from_edges
@@ -78,31 +80,53 @@ def _relax(
     links_t: DataFrame,
     stepm: StepMaterializer,
     superstep: int,
+    obs: Observation | None = None,
 ) -> DataFrame:
     """ONE Bellman-Ford superstep, shared by the in-memory and the
     bucket-indexed loops (their results are asserted identical by the
     sssp_k8 / sssp_k8_indexed contract rows — one body, no drift):
-    scatter ``dist + w`` out of the frontier, min-combine per ``dst``
-    (map-side partial agg), then FULL OUTER merge into the visited set
-    — msgs-only rows are newly reached, state-only rows carry over,
-    both-side rows keep the min. O(visited + msgs), never O(V)."""
-    msgs = (
-        links_t.join(frontier, "src")
-        .groupBy("dst")
-        .agg(F.min(F.col("dist") + F.col("weight")).alias("md"))
+    scatter ``dist + w`` out of the frontier, then min-combine AND
+    merge into the visited set in ONE union + ``groupBy(id)`` — raw
+    relaxations and carried state rows share the same map-side partial
+    min and the same hash exchange. O(visited + msgs), never O(V).
+
+    Round-4 shape change: the former ``groupBy(dst).min`` ⋈ FULL OUTER
+    merge planned as a SortMergeJoin whose output partitioning is
+    UNKNOWN, so every superstep re-exchanged and re-sorted the visited
+    set on top of the message exchange (the temporal loop measured
+    0.65 scaling at 2→8 on that shape vs a 0.94 PageRank control).
+    Union-then-aggregate has one exchange, no sorts, and its
+    ``hashpartitioning(id, n)`` output survives the checkpoint, so the
+    loop stays exchange-shaped like pagerank.py's. When ``obs`` is
+    given, the new-frontier count (the reference's ``__messages``
+    termination counter) rides the SAME eager-checkpoint action — no
+    separate per-superstep count job."""
+    raw = links_t.join(frontier, "src").select(
+        F.col("dst").alias("id"),
+        F.lit(None).cast("double").alias("_old"),
+        (F.col("dist") + F.col("weight")).alias("_md"),
     )
-    improved = F.col("md").isNotNull() & (
-        F.col("dist").isNull() | (F.col("md") < F.col("dist"))
-    )
-    return stepm.step(
-        state.join(msgs.withColumnRenamed("dst", "id"), "id", "full_outer")
-        .select(
+    merged = (
+        state.select(
             "id",
-            F.when(improved, F.col("md")).otherwise(F.col("dist")).alias("dist"),
-            improved.alias("changed"),
-        ),
-        superstep,
+            F.col("dist").alias("_old"),
+            F.lit(None).cast("double").alias("_md"),
+        )
+        .unionByName(raw)
+        .groupBy("id")
+        .agg(F.min("_old").alias("_old"), F.min("_md").alias("_md"))
     )
+    improved = F.col("_md").isNotNull() & (
+        F.col("_old").isNull() | (F.col("_md") < F.col("_old"))
+    )
+    plan = merged.select(
+        "id",
+        F.when(improved, F.col("_md")).otherwise(F.col("_old")).alias("dist"),
+        improved.alias("changed"),
+    )
+    if obs is not None:
+        plan = plan.observe(obs, F.sum(F.col("changed").cast("long")).alias("nf"))
+    return stepm.step(plan, superstep)
 
 
 def shortest_paths(
@@ -179,10 +203,15 @@ def shortest_paths(
                 break
             t0 = time.monotonic()
             frontier = _frontier(state)
-            nxt = _relax(state, frontier, links, stepm, superstep)
-            # ONE action: fills the checkpoint cache + counts the new
-            # frontier (the reference's __messages termination counter);
-            # grouped by physical partition when I5 stats are on
+            # the new-frontier count rides the checkpoint action via
+            # observe() unless per-partition I5 stats are on (those
+            # need one grouped pass over the cached state)
+            obs = (
+                None
+                if partition_metrics
+                else Observation(f"nf_{run_id}_{superstep}")
+            )
+            nxt = _relax(state, frontier, links, stepm, superstep, obs=obs)
             if partition_metrics:
                 prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
                     F.count(F.lit(1)).alias("rows"),
@@ -199,12 +228,7 @@ def shortest_paths(
                     for r in prows
                 )
             else:
-                n_frontier = (
-                    nxt.agg(
-                        F.sum(F.col("changed").cast("long")).alias("nf")
-                    ).collect()[0]["nf"]
-                    or 0
-                )
+                n_frontier = int(obs.get["nf"] or 0)
             stepm.advance(nxt, superstep)
             state = nxt
             metrics.append(
@@ -349,13 +373,9 @@ def shortest_paths_indexed(
             links_t = spark.read.parquet(edges_path).filter(
                 F.col("bucket").isin(blist)
             )
-            nxt = _relax(state, frontier, links_t, stepm, superstep)
-            n_frontier = (
-                nxt.agg(F.sum(F.col("changed").cast("long")).alias("nf")).collect()[
-                    0
-                ]["nf"]
-                or 0
-            )
+            obs = Observation(f"nf_{run_id}_{superstep}")
+            nxt = _relax(state, frontier, links_t, stepm, superstep, obs=obs)
+            n_frontier = int(obs.get["nf"] or 0)
             stepm.advance(nxt, superstep)
             state = nxt
             metrics.append(

@@ -15,7 +15,15 @@ same shape as ``sssp.shortest_paths``:
 - a superstep relaxes only OUT of the frontier (vertices whose
   arrival improved last round): messages are the edge timestamps ``t``
   of edges whose departure is feasible (``t >= arrival(src)``),
-  min-combined per ``dst`` with map-side partial aggregation;
+  min-combined per ``dst`` with map-side partial aggregation — and the
+  combine is FUSED with the state merge: state rows and raw feasible
+  timestamps flow through one union + ``groupBy(id)`` min, so a
+  superstep has exactly one hash exchange, no join, no sorts, and the
+  aggregation's hash partitioning survives the per-step checkpoint
+  (the former full-outer merge planned as a SortMergeJoin with
+  UnknownPartitioning output, re-exchanging + re-sorting the state
+  every superstep — measured 0.65 scaling efficiency at 2→8 cores vs
+  a 0.94 same-session PageRank control);
 - the loop-carried state is the REACHED set only — O(reached), not
   O(V) (the same lesson as sssp.py: at 10^12 documents a wave touches
   a tiny fraction of the graph for many supersteps);
@@ -35,7 +43,7 @@ from __future__ import annotations
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .build import vertices_from_edges
 from .engine import (
@@ -109,32 +117,56 @@ def earliest_arrival(
             frontier = state.filter("changed").select(
                 F.col("id").alias("src"), "arrival"
             )
-            msgs = (
+            # Message combine FOLDED INTO the state merge (round-3
+            # scaling finding, BASELINE.md "next lever"): the old shape
+            # — groupBy(dst).min ⋈FULL-OUTER state — planned as an SMJ
+            # whose output partitioning is UNKNOWN, so every superstep
+            # re-exchanged AND re-sorted the O(reached) state on top of
+            # the O(msgs) exchange (measured 0.65 scaling at 2→8 vs a
+            # 0.94 same-session PageRank control). Union-then-aggregate
+            # does the same min-relaxation with ONE hash exchange and
+            # zero sorts: raw feasible timestamps ride the SAME
+            # map-side partial min as the state rows, and the
+            # aggregation's hashpartitioning(id, n_part) output
+            # SURVIVES the checkpoint, keeping the loop exchange-shaped
+            # like pagerank.py's.
+            raw = (
                 links.join(frontier, "src")
                 .filter(feasible)
-                .groupBy("dst")
-                .agg(F.min("t").alias("ma"))
-            )
-            improved = F.col("ma").isNotNull() & (
-                F.col("arrival").isNull() | (F.col("ma") < F.col("arrival"))
-            )
-            nxt = stepm.step(
-                state.join(msgs.withColumnRenamed("dst", "id"), "id", "full_outer")
                 .select(
+                    F.col("dst").alias("id"),
+                    F.lit(None).cast("double").alias("arrival"),
+                    F.col("t").alias("ma"),
+                )
+            )
+            merged = (
+                state.select(
+                    "id", "arrival", F.lit(None).cast("double").alias("ma")
+                )
+                .unionByName(raw)
+                .groupBy("id")
+                .agg(F.min("arrival").alias("_old"), F.min("ma").alias("_ma"))
+            )
+            improved = F.col("_ma").isNotNull() & (
+                F.col("_old").isNull() | (F.col("_ma") < F.col("_old"))
+            )
+            # the frontier count (reference __messages termination
+            # counter) rides the SAME eager-checkpoint action via
+            # observe() — no separate per-superstep count job
+            obs = Observation(f"nf_{run_id}_{superstep}")
+            nxt = stepm.step(
+                merged.select(
                     "id",
-                    F.when(improved, F.col("ma"))
-                    .otherwise(F.col("arrival"))
+                    F.when(improved, F.col("_ma"))
+                    .otherwise(F.col("_old"))
                     .alias("arrival"),
                     improved.alias("changed"),
+                ).observe(
+                    obs, F.sum(F.col("changed").cast("long")).alias("nf")
                 ),
                 superstep,
             )
-            n_frontier = (
-                nxt.agg(F.sum(F.col("changed").cast("long")).alias("nf")).collect()[
-                    0
-                ]["nf"]
-                or 0
-            )
+            n_frontier = int(obs.get["nf"] or 0)
             stepm.advance(nxt, superstep)
             state = nxt
             metrics.append(

@@ -193,9 +193,28 @@ def main():
     # the pair
     if algo in ("salsa", "hits", "lpa", "temporal") and res.metrics:
         walls = [m["wall_ms"] for m in res.metrics]
-        min_step_ms = min(walls)
-        out["edges_per_sec_steady"] = round(n_edges / (min_step_ms / 1000.0), 1)
-        out["steady_step_index"] = walls.index(min_step_ms)
+        # Matched-volume plateau restriction: when per-step shuffle
+        # telemetry exists, candidate steps for the min are those whose
+        # shuffle_write is within 1% of the FINAL step's — this is the
+        # restriction BENCH_SCALING_temporal.json's steady_note
+        # describes. Without it the all-steps min picks the cheap
+        # low-volume warmup step (temporal's 339MB step 0 vs its 2.4GB
+        # plateau) and understates the level ratio.
+        sw = [m.get("shuffle_write_bytes") for m in res.metrics]
+        if all(v is not None for v in sw) and sw and sw[-1]:
+            plateau = [
+                i
+                for i, v in enumerate(sw)
+                if abs(v - sw[-1]) <= 0.01 * sw[-1]
+            ]
+        else:
+            plateau = list(range(len(walls)))
+        min_idx = min(plateau, key=lambda i: walls[i])
+        out["edges_per_sec_steady"] = round(
+            n_edges / (walls[min_idx] / 1000.0), 1
+        )
+        out["steady_step_index"] = min_idx
+        out["steady_plateau_steps"] = plateau
     print("BENCHJSON:" + json.dumps(out))
     spark.stop()
 
