@@ -118,35 +118,162 @@ class BpeResult:
     vocab: DataFrame  # (word, n, syms) after all merges
 
 
+def _triple_ceilings(vocab: DataFrame, cands: list) -> dict:
+    """Created-pair ceilings for candidate pairs, from ONE adjacent-
+    triple census restricted to candidate middles: for (l, r) the max
+    weighted count over x of triples (x, l, r) and over y of
+    (l, r, y). Any pair a merge of (l, r) can CREATE — (x, l+r) or
+    (l+r, y) — has count bounded by these (each created adjacency
+    consumes one such triple occurrence), and the bound is valid at
+    any point inside a disjoint batch because merging a
+    symbol-disjoint pair never raises a triple's max-over-x count
+    (a replaced x only re-labels existing occurrences)."""
+    three = vocab.where(F.size("syms") >= 3)
+    cand_rows = [(l, r) for (l, r) in cands]
+    trip = three.select(
+        F.col("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 2),
+                lambda i: F.struct(
+                    F.element_at("syms", i.cast("int")).alias("a"),
+                    F.element_at("syms", (i + 1).cast("int")).alias("b"),
+                    F.element_at("syms", (i + 2).cast("int")).alias("c"),
+                ),
+            )
+        ).alias("t"),
+    ).select("n", "t.a", "t.b", "t.c")
+    cand_df = vocab.sparkSession.createDataFrame(
+        cand_rows, "l string, r string"
+    )
+    # left ceilings: middle pair (b,c) is the candidate, max over a
+    lefts = (
+        trip.join(F.broadcast(cand_df), (trip.b == cand_df.l) & (trip.c == cand_df.r))
+        .groupBy("l", "r", "a")
+        .agg(F.sum("n").alias("cnt"))
+        .groupBy("l", "r")
+        .agg(F.max("cnt").alias("ceil_l"))
+    )
+    rights = (
+        trip.join(F.broadcast(cand_df), (trip.a == cand_df.l) & (trip.b == cand_df.r))
+        .groupBy("l", "r", "c")
+        .agg(F.sum("n").alias("cnt"))
+        .groupBy("l", "r")
+        .agg(F.max("cnt").alias("ceil_r"))
+    )
+    out: dict = {(l, r): 0 for (l, r) in cands}
+    for row in lefts.collect():
+        out[(row["l"], row["r"])] = max(out[(row["l"], row["r"])], int(row["ceil_l"]))
+    for row in rights.collect():
+        out[(row["l"], row["r"])] = max(out[(row["l"], row["r"])], int(row["ceil_r"]))
+    return out
+
+
+def _select_batch(top: list, ceilings: dict, batch: int) -> list:
+    """The exactness-preserving batch rule (see ``bpe_learn``):
+    walk the (cnt desc, l, r)-ordered prefix WITHOUT skipping; stop at
+    the first pair that (a) shares a symbol with an earlier pick,
+    (b) has an element string-equal to an earlier pick's CONCATENATION
+    (symbol identity is the string, so merging (a,b) mints new "ab"
+    symbols — a later ("ab", c) would gain count mid-batch and its
+    recorded census count would no longer be the sequential one), or
+    (c) does not STRICTLY beat the created-pair ceiling of every
+    earlier pick. What remains provably replays sequential BPE."""
+    picked: list = []
+    used: set = set()
+    concats: set = set()
+    ceiling = -1
+    for row in top:
+        l, r, cnt = row["l"], row["r"], int(row["cnt"])
+        if len(picked) >= batch:
+            break
+        if picked and (
+            cnt <= ceiling
+            or l in used
+            or r in used
+            or l in concats
+            or r in concats
+        ):
+            break
+        picked.append((l, r, cnt))
+        used.update((l, r))
+        concats.add(l + r)
+        ceiling = max(ceiling, ceilings[(l, r)])
+    return picked
+
+
 def bpe_learn(
     docs: DataFrame,
     n_merges: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch: int = 1,
 ) -> BpeResult:
     """Learn ``n_merges`` BPE merges over the corpus (may stop early
-    when no pair remains). The per-round argmax is the only driver
-    round-trip — one 1-row TakeOrdered per merge, same pattern as the
-    BSP loop's aggregators."""
+    when no pair remains).
+
+    ``batch=1`` (default): one 1-row TakeOrdered per merge — the only
+    driver round-trip, same pattern as the BSP loop's aggregators.
+
+    ``batch>1``: per ROUND, select up to ``batch`` merges that are
+    provably identical to running that many sequential rounds, then
+    apply them in one vocabulary pass — at production merge counts
+    (32k-entry tokenizers) this divides the number of Spark jobs by
+    the achieved batch size. The selection rule and why it is EXACT
+    (not a heuristic):
+
+    1. Candidates are the (cnt desc, l asc, r asc)-ordered census
+       prefix taken WITHOUT skipping: the moment a pair conflicts, the
+       batch ends. Hence every census pair ranked better than a batch
+       member is itself in the batch, and every non-batch pair ranked
+       worse can only LOSE count during the batch (a merge never
+       creates an adjacency between two pre-existing symbols), so it
+       can never overtake.
+    2. Batch pairs are pairwise symbol-disjoint AND no pick's element
+       string-equals an earlier pick's concatenation (symbol identity
+       is the string), so their own counts are invariant while earlier
+       batch merges apply, and their greedy applications commute (a
+       disjoint replacement can neither create nor destroy an
+       occurrence of the other pair).
+    3. Merging (l, r) can only CREATE pairs of the form (x, l+r) or
+       (l+r, y), and each created adjacency consumes an occurrence of
+       the triple (x, l, r) / (l, r, y) — so created-pair counts are
+       bounded by the triple-census ceilings (``_triple_ceilings``,
+       bounds valid throughout the batch by the same disjointness
+       argument). The batch extends only while the next pick's count
+       STRICTLY exceeds every earlier pick's ceiling, so no created
+       pair can tie or beat a later batch member in sequential order.
+
+    Under 1-3, sequential BPE's argmax at step i is exactly the i-th
+    batch pair, with the same recorded count. Byte-equality with
+    ``batch=1`` is pinned by ``tests/test_bpe.py`` on adversarial
+    corpora (including created-pair-overtakes and tie-breaks, where
+    the guard must shrink the batch)."""
     vocab = word_census(docs, id_col, text_col).select(
         "word", "n", _char_symbols("word").alias("syms")
     )
     vocab = vocab.persist()
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        best = (
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        top = (
             _pair_census(vocab)
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(max(1, 2 * want))
             .collect()
         )
-        if not best:
+        if not top:
             break
-        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
-        merges.append((l, r, cnt))
-        nxt = vocab.select(
-            "word", "n", _apply_merge(F.col("syms"), l, r).alias("syms")
-        ).persist()
+        if want == 1:
+            picked = [(top[0]["l"], top[0]["r"], int(top[0]["cnt"]))]
+        else:
+            ceilings = _triple_ceilings(vocab, [(t["l"], t["r"]) for t in top])
+            picked = _select_batch(top, ceilings, want)
+        merges.extend(picked)
+        syms = F.col("syms")
+        for l, r, _ in picked:
+            syms = _apply_merge(syms, l, r)
+        nxt = vocab.select("word", "n", syms.alias("syms")).persist()
         nxt.count()  # materialize before dropping the parent cache
         vocab.unpersist()
         vocab = nxt

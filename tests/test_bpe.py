@@ -132,3 +132,51 @@ def test_empty_docs_report_zero(spark):
     }
     assert got == {1: (2, 2), 2: (0, 0)}
     res.vocab.unpersist()
+
+
+def test_batched_learn_equals_sequential(spark):
+    """batch>1 must replay sequential BPE byte-for-byte (merge table
+    INCLUDING counts, and final vocab) on corpora engineered to hit
+    every guard in _select_batch:
+
+    - rand_texts: natural conflicts (shared symbols in top pairs);
+    - the created-pair-overtake corpus: merging the top pair creates a
+      pair that outranks the census #2, so the ceiling guard must cut
+      the batch or the merge table diverges;
+    - the concat-collision corpus: a census pair string-equal to an
+      earlier pick's concatenation gains count mid-batch;
+    - tie-heavy corpus: equal counts everywhere, lex tie-breaks.
+    """
+    corpora = [
+        rand_texts(2),
+        rand_texts(3),
+        # x a b y  repeated: (a,b) merges first; creates (x,ab),(ab,y)
+        # which tie with (c,d)-style bystanders
+        ["x a b y"] * 50 + ["c d"] * 45,
+        # concat collision: "ab" exists as a word char-split? craft via
+        # single chars: pair (a,b) then symbol "ab" from another path
+        ["a b"] * 60 + ["q ab r"] * 30 + ["m n"] * 20,
+        ["a a a a", "a a a", "b b b b"] * 10,
+        ["ab ab ab", "a b a b"] * 15,
+    ]
+    for texts in corpora:
+        want, _ = py_bpe(texts, 12)
+        for batch in (4, 8, 64):
+            res = bpe_learn(
+                docs_df(spark, list(enumerate(texts))),
+                n_merges=12,
+                batch=batch,
+            )
+            assert res.merges == want, (batch, texts[:3], res.merges, want)
+
+
+def test_batched_learn_vocab_matches(spark):
+    texts = rand_texts(7)
+    seq = bpe_learn(docs_df(spark, list(enumerate(texts))), n_merges=10)
+    bat = bpe_learn(
+        docs_df(spark, list(enumerate(texts))), n_merges=10, batch=8
+    )
+    assert seq.merges == bat.merges
+    a = sorted((r["word"], tuple(r["syms"])) for r in seq.vocab.collect())
+    b = sorted((r["word"], tuple(r["syms"])) for r in bat.vocab.collect())
+    assert a == b
