@@ -22,7 +22,7 @@ from __future__ import annotations
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..tableio import CheckpointManager
 from .build import order_preserving_id_map, undirect, vertices_from_edges
@@ -110,17 +110,24 @@ def connected_components(
             )
             mins = msgs.groupBy("id").agg(F.min("cand").alias("cand"))
             joined = labels.join(mins, "id", "left_outer")
-            nxt = materialize(
-                joined.select(
-                    "id",
-                    F.least(F.col("component"), F.coalesce("cand", F.col("component"))).alias(
-                        "component"
-                    ),
-                    (
-                        F.col("cand").isNotNull() & (F.col("cand") < F.col("component"))
-                    ).alias("_changed"),
-                )
+            step_plan = joined.select(
+                "id",
+                F.least(F.col("component"), F.coalesce("cand", F.col("component"))).alias(
+                    "component"
+                ),
+                (
+                    F.col("cand").isNotNull() & (F.col("cand") < F.col("component"))
+                ).alias("_changed"),
             )
+            # changed-count rides the materialization action itself
+            # unless per-partition I5 stats are requested
+            obs = None
+            if not partition_metrics:
+                obs = Observation(f"chg_{run_id}_{superstep}")
+                step_plan = step_plan.observe(
+                    obs, F.sum(F.col("_changed").cast("long")).alias("chg")
+                )
+            nxt = materialize(step_plan)
             # changed-count grouped by physical partition: same single
             # action, plus the I5 per-partition rows (checkpointed runs)
             if partition_metrics:
@@ -139,7 +146,7 @@ def connected_components(
                     for r in prows
                 )
             else:
-                changed = nxt.filter(F.col("_changed")).count()
+                changed = int(obs.get["chg"] or 0)
             labels = nxt.select("id", "component")
             frontier = nxt.filter(F.col("_changed")).select(
                 "id", "component"

@@ -39,7 +39,7 @@ from __future__ import annotations
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..tableio import CheckpointManager
 from .build import undirect, vertices_from_edges
@@ -111,13 +111,16 @@ def k_core(
                 .groupBy("dst")
                 .agg(F.count(F.lit(1)).alias("deg"))
             )
+            # survivor count rides the checkpoint action via observe()
+            obs = Observation(f"nk_{run_id}_{rounds}")
             nxt = stepm.step(
                 cnt.join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
                 .filter(F.col("deg") >= k)
-                .select(F.col("dst").alias("id")),
+                .select(F.col("dst").alias("id"))
+                .observe(obs, F.count(F.lit(1)).alias("n")),
                 rounds,
             )
-            n_next = nxt.count()
+            n_next = int(obs.get["n"] or 0)
             stepm.advance(nxt, rounds)
             alive = nxt
             metrics.append(

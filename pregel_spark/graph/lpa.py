@@ -52,7 +52,7 @@ from __future__ import annotations
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 
 from ..tableio import CheckpointManager
 from .build import order_preserving_id_map, undirect, vertices_from_edges
@@ -206,17 +206,23 @@ def _rescatter_loop(
                 .filter(F.col("_rn") == 1)
                 .select("id", F.col("cand").alias("new_label"))
             )
-        nxt = materialize(
-            labels.join(best, "id", "left_outer")
-            .select(
-                "id",
-                F.coalesce("new_label", F.col("label")).alias("label"),
-                (
-                    F.col("new_label").isNotNull()
-                    & (F.col("new_label") != F.col("label"))
-                ).alias("_changed"),
-            )
+        step_plan = labels.join(best, "id", "left_outer").select(
+            "id",
+            F.coalesce("new_label", F.col("label")).alias("label"),
+            (
+                F.col("new_label").isNotNull()
+                & (F.col("new_label") != F.col("label"))
+            ).alias("_changed"),
         )
+        # changed-count rides the materialization action via observe()
+        # unless per-partition I5 stats are requested
+        obs = None
+        if not partition_metrics:
+            obs = Observation(f"chg_{run_id}_{superstep}")
+            step_plan = step_plan.observe(
+                obs, F.sum(F.col("_changed").cast("long")).alias("chg")
+            )
+        nxt = materialize(step_plan)
         if partition_metrics:
             prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
                 F.count(F.lit(1)).alias("rows"),
@@ -233,7 +239,7 @@ def _rescatter_loop(
                 for r in prows
             )
         else:
-            changed = nxt.filter(F.col("_changed")).count()
+            changed = int(obs.get["chg"] or 0)
         labels = nxt.select("id", "label")
         metrics.append(
             {

@@ -116,6 +116,7 @@ def _pair_census(vocab: DataFrame) -> DataFrame:
 class BpeResult:
     merges: list[tuple[str, str, int]]  # (left, right, pair_count) by rank
     vocab: DataFrame  # (word, n, syms) after all merges
+    rounds: int = 0  # Spark rounds taken (== len(merges) when batch=1)
 
 
 def _triple_ceilings(vocab: DataFrame, cands: list) -> dict:
@@ -254,6 +255,7 @@ def bpe_learn(
     )
     vocab = vocab.persist()
     merges: list[tuple[str, str, int]] = []
+    rounds = 0
     while len(merges) < n_merges:
         want = min(batch, n_merges - len(merges))
         top = (
@@ -277,7 +279,8 @@ def bpe_learn(
         nxt.count()  # materialize before dropping the parent cache
         vocab.unpersist()
         vocab = nxt
-    return BpeResult(merges=merges, vocab=vocab)
+        rounds += 1
+    return BpeResult(merges=merges, vocab=vocab, rounds=rounds)
 
 
 def merges_df(spark: SparkSession, merges: list[tuple[str, str, int]]) -> DataFrame:
