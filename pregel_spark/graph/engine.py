@@ -127,7 +127,13 @@ def materialize(df: DataFrame) -> DataFrame:
     with AQE off and keeps the metadata. Non-repartition roots keep
     AQE (skew-join handling in the heavy one-shot checkpoints)."""
     spark = df.sparkSession
-    root = df._jdf.queryExecution().logical().getClass().getSimpleName()
+    # unwrap partitioning-preserving nodes (sortWithinPartitions,
+    # column projections) to find an explicit-repartition root
+    node = df._jdf.queryExecution().logical()
+    root = node.getClass().getSimpleName()
+    while root in ("Sort", "Project") and node.children().size() == 1:
+        node = node.children().head()
+        root = node.getClass().getSimpleName()
     if (
         root == "RepartitionByExpression"
         and spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -46,7 +46,7 @@ import uuid
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..tableio import CheckpointManager
-from .build import vertices_from_edges
+from .build import order_preserving_id_map, vertices_from_edges
 from .engine import (
     PregelResult,
     ShuffleDelta,
@@ -54,6 +54,13 @@ from .engine import (
     bsp_loop_confs,
     materialize,
 )
+
+# Cache-batch pruning of the persisted link table (see shortest_paths):
+# bucket count for the src-hash clustering column, and the frontier
+# size above which pruning is skipped (large waves touch most buckets
+# and the tiny bucket-listing job would be pure overhead).
+_PRUNE_B = 256
+_PRUNE_FRONTIER_CAP = 100_000
 
 
 def _as_source_df(spark: SparkSession, sources: list | DataFrame) -> DataFrame:
@@ -141,6 +148,7 @@ def shortest_paths(
     checkpoint_interval: int = 10,
     resume: bool = False,
     partition_metrics: bool | None = None,
+    numeric_ids: bool = True,
 ) -> PregelResult:
     """Weighted shortest distances from a source set. Returns
     (id, dist) over ALL vertices; ``dist`` is NULL where unreachable.
@@ -150,6 +158,14 @@ def shortest_paths(
     symmetrizes the edge list first (each edge relaxes both ways).
     Negative weights are rejected — with a frontier stop rule they
     would require the full |V|-1 Bellman-Ford rounds to be sound.
+
+    ``numeric_ids`` (connected_components' scheme): map string ids to
+    dense longs once and run the loop on 8-byte keys. The per-superstep
+    floor is the probe of the cached O(E) link table against the
+    frontier hash map, and a long-key probe (LongHashedRelation)
+    measured ~9x cheaper than string keys at equal row count — string
+    hashing + equality dominate an otherwise-tiny superstep. Distances
+    are id-representation-independent, so results are byte-identical.
     """
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -161,14 +177,45 @@ def shortest_paths(
         edges.select("src", "dst", F.col("weight").cast("double").alias("weight")),
         directed,
     )
-    links = e.repartition(n_part, "src").persist()
+    src_df = _as_source_df(spark, sources)
+    vmap = None
+    if numeric_ids:
+        verts_all = (
+            vertices_from_edges(e).unionByName(src_df).distinct()
+        )
+        vmap = materialize(
+            order_preserving_id_map(verts_all, n_part).repartition(n_part, "vid")
+        )
+        e = (
+            e.join(vmap.withColumnRenamed("id", "src"), "src")
+            .select(F.col("vid").alias("src"), "dst", "weight")
+            .join(vmap.withColumnRenamed("id", "dst"), "dst")
+            .select("src", F.col("vid").alias("dst"), "weight")
+        )
+        src_df = src_df.join(vmap, "id").select(F.col("vid").alias("id"))
+    # `_b` + sortWithinPartitions: cluster the cached link table by a
+    # src-hash bucket so the in-memory columnar scan's per-batch
+    # min/max stats can SKIP batches under a `_b IN (...)` filter —
+    # the cache-resident twin of write_edge_buckets' directory pruning.
+    # Motivation (BENCH_SCALING_sssp.json, round 4): a BFS wave's
+    # near-empty early supersteps still paid a FULL O(E) cache scan to
+    # join a handful of frontier rows — 40-75 s/step at 2 cores on
+    # 100M edges with <2 MB of real work, and that fixed floor is what
+    # dragged 2→8 scaling to 0.77. sortWithinPartitions preserves the
+    # hash(src) layout, so loop joins stay exchange-free.
+    links = (
+        e.withColumn(
+            "_b", F.pmod(F.xxhash64("src"), F.lit(_PRUNE_B)).cast("int")
+        )
+        .repartition(n_part, "src")
+        .sortWithinPartitions("_b")
+        .persist()
+    )
     links.count()
     # validated on the persisted table — no second upstream scan
     if links.filter(F.col("weight") < 0).limit(1).count() > 0:
         links.unpersist()
         raise ValueError("shortest_paths requires non-negative edge weights")
-
-    src_df = _as_source_df(spark, sources)
 
     # visited-only state: just the sources at superstep 0
     state = materialize(
@@ -203,6 +250,27 @@ def shortest_paths(
                 break
             t0 = time.monotonic()
             frontier = _frontier(state)
+            # cache-batch pruning (see the links build note): when the
+            # frontier is small, one tiny driver job lists its hash
+            # buckets and the scatter scans only the matching cached
+            # batches instead of all of E. Gated on the known frontier
+            # count so large waves skip both the extra job and a
+            # useless IN filter.
+            links_t, b_scanned = links, None
+            if 0 < n_frontier <= _PRUNE_FRONTIER_CAP:
+                blist = [
+                    r["b"]
+                    for r in frontier.select(
+                        F.pmod(F.xxhash64("src"), F.lit(_PRUNE_B))
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                if len(blist) <= _PRUNE_B // 2:
+                    links_t = links.filter(F.col("_b").isin(blist))
+                    b_scanned = len(blist)
             # the new-frontier count rides the checkpoint action via
             # observe() unless per-partition I5 stats are on (those
             # need one grouped pass over the cached state)
@@ -211,7 +279,7 @@ def shortest_paths(
                 if partition_metrics
                 else Observation(f"nf_{run_id}_{superstep}")
             )
-            nxt = _relax(state, frontier, links, stepm, superstep, obs=obs)
+            nxt = _relax(state, frontier, links_t, stepm, superstep, obs=obs)
             if partition_metrics:
                 prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
                     F.count(F.lit(1)).alias("rows"),
@@ -231,15 +299,16 @@ def shortest_paths(
                 n_frontier = int(obs.get["nf"] or 0)
             stepm.advance(nxt, superstep)
             state = nxt
-            metrics.append(
-                {
-                    "run_id": run_id,
-                    "superstep": superstep,
-                    "wall_ms": (time.monotonic() - t0) * 1000,
-                    "frontier": n_frontier,
-                    **shufd.sample(),
-                }
-            )
+            m = {
+                "run_id": run_id,
+                "superstep": superstep,
+                "wall_ms": (time.monotonic() - t0) * 1000,
+                "frontier": n_frontier,
+                **shufd.sample(),
+            }
+            if b_scanned is not None:
+                m["buckets_scanned"] = b_scanned
+            metrics.append(m)
             if ckpt is not None and (
                 superstep % checkpoint_interval == 0 or n_frontier == 0
             ):
@@ -253,13 +322,19 @@ def shortest_paths(
                 break
 
     # one final O(V) projection: every vertex (plus foreign sources),
-    # NULL dist where the wave never arrived
+    # NULL dist where the wave never arrived; numeric mode maps the
+    # dense vids back to the original string ids
     verts = vertices_from_edges(links).unionByName(src_df).distinct()
-    out = materialize(
-        verts.join(state.select("id", "dist"), "id", "left_outer").select(
-            "id", "dist"
-        )
+    out = verts.join(state.select("id", "dist"), "id", "left_outer").select(
+        "id", "dist"
     )
+    if vmap is not None:
+        out = (
+            out.withColumnRenamed("id", "_v")
+            .join(vmap.withColumnRenamed("vid", "_v"), "_v")
+            .select("id", "dist")
+        )
+    out = materialize(out)
     links.unpersist()
     return PregelResult(
         vertices=out,

@@ -53,7 +53,7 @@ from .engine import (
     bsp_loop_confs,
     materialize,
 )
-from .sssp import _as_source_df
+from .sssp import _PRUNE_B, _PRUNE_FRONTIER_CAP, _as_source_df
 
 
 def earliest_arrival(
@@ -84,9 +84,16 @@ def earliest_arrival(
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
 
+    # `_b` + sortWithinPartitions: cache-batch pruning clustering, the
+    # same scheme as sssp.py (see its links-build note) — narrow waves
+    # scan only the cached batches their frontier hashes into.
     links = materialize(
         tedges.select("src", "dst", F.col("t").cast("double").alias("t"))
+        .withColumn(
+            "_b", F.pmod(F.xxhash64("src"), F.lit(_PRUNE_B)).cast("int")
+        )
         .repartition(n_part, "src")
+        .sortWithinPartitions("_b")
     )
     src_df = _as_source_df(spark, sources)
 
@@ -117,6 +124,23 @@ def earliest_arrival(
             frontier = state.filter("changed").select(
                 F.col("id").alias("src"), "arrival"
             )
+            # cache-batch pruning, gated on the known frontier count
+            # (sssp.py's scheme): small waves list their hash buckets
+            # with one tiny driver job and scan only those batches
+            links_t = links
+            if 0 < n_frontier <= _PRUNE_FRONTIER_CAP:
+                blist = [
+                    r["b"]
+                    for r in frontier.select(
+                        F.pmod(F.xxhash64("src"), F.lit(_PRUNE_B))
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                if len(blist) <= _PRUNE_B // 2:
+                    links_t = links.filter(F.col("_b").isin(blist))
             # Message combine FOLDED INTO the state merge (round-3
             # scaling finding, BASELINE.md "next lever"): the old shape
             # — groupBy(dst).min ⋈FULL-OUTER state — planned as an SMJ
@@ -131,7 +155,7 @@ def earliest_arrival(
             # SURVIVES the checkpoint, keeping the loop exchange-shaped
             # like pagerank.py's.
             raw = (
-                links.join(frontier, "src")
+                links_t.join(frontier, "src")
                 .filter(feasible)
                 .select(
                     F.col("dst").alias("id"),

@@ -253,7 +253,13 @@ def bpe_learn(
     vocab = word_census(docs, id_col, text_col).select(
         "word", "n", _char_symbols("word").alias("syms")
     )
-    vocab = vocab.persist()
+    # localCheckpoint, NOT persist: each round's plan stacks `batch`
+    # nested array folds on top of the previous round's — persist keeps
+    # the logical plan, so a 1k-merge run accumulates a ~1000-deep
+    # expression tree and OOMs the driver on tree operations (measured:
+    # Java heap space in generateTreeString at ~30 batched rounds).
+    # Checkpointing caches AND cuts lineage to a leaf every round.
+    vocab = vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     rounds = 0
     while len(merges) < n_merges:
@@ -275,10 +281,9 @@ def bpe_learn(
         syms = F.col("syms")
         for l, r, _ in picked:
             syms = _apply_merge(syms, l, r)
-        nxt = vocab.select("word", "n", syms.alias("syms")).persist()
-        nxt.count()  # materialize before dropping the parent cache
-        vocab.unpersist()
-        vocab = nxt
+        vocab = vocab.select("word", "n", syms.alias("syms")).localCheckpoint(
+            eager=True
+        )
         rounds += 1
     return BpeResult(merges=merges, vocab=vocab, rounds=rounds)
 

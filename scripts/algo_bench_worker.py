@@ -45,7 +45,12 @@ def main():
         # UI on so loops can record per-superstep shuffle-byte deltas
         # (engine.shuffle_totals) — measurement runs only
         extra_conf={
-            "spark.ui.enabled": "true",
+            # SCALING_UI=0 turns the UI (and shuffle-delta telemetry)
+            # off to A/B the listener-bus cost itself — a blocked
+            # Observation.get waits on the same bus the UI store feeds
+            "spark.ui.enabled": (
+                "false" if os.environ.get("SCALING_UI") == "0" else "true"
+            ),
             # long waves (SCALING_MAX_ITER up to 200) outrun the default
             # 1000-stage UI retention and would corrupt shuffle deltas
             "spark.ui.retainedStages": "100000",
@@ -201,20 +206,27 @@ def main():
         # low-volume warmup step (temporal's 339MB step 0 vs its 2.4GB
         # plateau) and understates the level ratio.
         sw = [m.get("shuffle_write_bytes") for m in res.metrics]
-        if all(v is not None for v in sw) and sw and sw[-1]:
+        have_sw = all(v is not None for v in sw) and sw and sw[-1]
+        if have_sw:
             plateau = [
                 i
                 for i, v in enumerate(sw)
                 if abs(v - sw[-1]) <= 0.01 * sw[-1]
             ]
+        elif algo == "temporal":
+            # no byte telemetry (UI off): the plateau restriction
+            # cannot be applied, and the all-steps min would pick the
+            # low-volume warmup step — emit no steady estimate at all
+            plateau = None
         else:
             plateau = list(range(len(walls)))
-        min_idx = min(plateau, key=lambda i: walls[i])
-        out["edges_per_sec_steady"] = round(
-            n_edges / (walls[min_idx] / 1000.0), 1
-        )
-        out["steady_step_index"] = min_idx
-        out["steady_plateau_steps"] = plateau
+        if plateau is not None:
+            min_idx = min(plateau, key=lambda i: walls[i])
+            out["edges_per_sec_steady"] = round(
+                n_edges / (walls[min_idx] / 1000.0), 1
+            )
+            out["steady_step_index"] = min_idx
+            out["steady_plateau_steps"] = plateau
     print("BENCHJSON:" + json.dumps(out))
     spark.stop()
 

@@ -21,11 +21,22 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, sf_dir: str, algo: str = "pagerank") -> dict:
+def run_level(
+    cpus: int, sf_dir: str, algo: str = "pagerank", ui: bool = False
+) -> dict:
     """Fresh JVM pinned to exactly `cpus` host CPUs via taskset —
     without pinning, a local[8] JVM still spreads GC/shuffle-IO/codegen
     threads over all 32 host cores, inflating the low-core baseline and
-    corrupting the efficiency ratio."""
+    corrupting the efficiency ratio.
+
+    ``ui=False`` for TIMED runs (round-4 finding): the UI listener bus
+    that feeds the per-superstep shuffle-byte telemetry lags behind a
+    busy job stream, and a blocked Observation/metrics read charges
+    that lag to the superstep wall — measured +63 s on an 8-core
+    100M-edge SSSP loop (111.9 s -> 48.8 s with the UI off) versus a
+    much smaller penalty at 2 cores, i.e. the telemetry itself biased
+    the efficiency ratio DOWN. Timed runs go dark; one extra untimed
+    high-level run with ``ui=True`` collects the byte telemetry."""
     if algo == "pagerank":
         cmd = [sys.executable,
                os.path.join(REPO, "scripts", "pagerank_bench_worker.py"),
@@ -37,6 +48,7 @@ def run_level(cpus: int, sf_dir: str, algo: str = "pagerank") -> dict:
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
     env = dict(os.environ)
+    env["SCALING_UI"] = "1" if ui else "0"
     env.setdefault("SCALING_TOL", "0")
     env.setdefault("SCALING_MAX_ITER", "10")
     # ample heap: GC pressure at the default 16g produced 10-20s
@@ -84,8 +96,14 @@ def main():
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_low = int(args[0]) if len(args) > 0 else 8
     n_high = int(args[1]) if len(args) > 1 else 32
-    low = run_level(n_low, sf_dir, algo)
-    high = run_level(n_high, sf_dir, algo)
+    low = run_level(n_low, sf_dir, algo, ui=False)
+    high = run_level(n_high, sf_dir, algo, ui=False)
+    # one extra UNTIMED high-level run with the UI on: captures the
+    # per-superstep shuffle-byte telemetry (work-invariance evidence)
+    # without contaminating the timed pair. Skip with SCALING_TELEMETRY=0.
+    telem = None
+    if os.environ.get("SCALING_TELEMETRY", "1") != "0":
+        telem = run_level(n_high, sf_dir, algo, ui=True)
     ratio = (n_high / n_low)
     # efficiency on SUPERSTEP throughput (the north metric is
     # supersteps/hour and edges/sec of the iteration); one-time ingest
@@ -103,7 +121,23 @@ def main():
         "scaling_efficiency": round(eff, 4),
         "scaling_efficiency_incl_setup": round(eff_total, 4),
         "pass_gate_0.8": eff >= 0.8,
+        "protocol_note": (
+            "timed runs executed with spark.ui disabled (the telemetry "
+            "listener bus adds parallelism-dependent lag to superstep "
+            "walls; see BASELINE.md round 4); telemetry block is a "
+            "separate UNTIMED high-level run with the UI on"
+        ),
     }
+    if telem is not None:
+        result["telemetry"] = {
+            k: telem[k]
+            for k in (
+                "cpus", "supersteps", "step_shuffle_write_mb",
+                "step_shuffle_read_mb", "step_buckets_scanned",
+                "step_walls_ms",
+            )
+            if k in telem
+        }
     if "edges_per_sec_steady" in low and "edges_per_sec_steady" in high:
         # min-of-steps estimator: steal-resistant (see worker docstring).
         # When the workers report which step won (variable-volume loops

@@ -33,7 +33,11 @@ def main():
         # shuffle-byte deltas (engine.shuffle_totals) — the
         # exchange-volume-invariance evidence in BASELINE.md
         extra_conf={
-            "spark.ui.enabled": "true",
+            # SCALING_UI=0: timed runs go dark (see algo_bench_worker /
+            # BASELINE.md round 4 — listener-bus lag charges to steps)
+            "spark.ui.enabled": (
+                "false" if os.environ.get("SCALING_UI") == "0" else "true"
+            ),
             # long waves (SCALING_MAX_ITER up to 200) outrun the default
             # 1000-stage UI retention and would corrupt shuffle deltas
             "spark.ui.retainedStages": "100000",
