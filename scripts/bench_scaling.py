@@ -54,14 +54,30 @@ def run_level(
     # ample heap: GC pressure at the default 16g produced 10-20s
     # full-GC superstep outliers that corrupt the ratio
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-    p = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
-    for line in p.stdout.splitlines():
-        if line.startswith("BENCHJSON:"):
-            return json.loads(line[len("BENCHJSON:"):])
-    raise RuntimeError(
-        f"worker cpus={cpus} produced no BENCHJSON; stderr tail:\n"
-        + p.stderr[-2000:]
-    )
+    best = None
+    reps = 1 if ui else int(os.environ.get("SCALING_REPS", "1"))
+    for _ in range(reps):
+        p = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3600, env=env
+        )
+        got = None
+        for line in p.stdout.splitlines():
+            if line.startswith("BENCHJSON:"):
+                got = json.loads(line[len("BENCHJSON:"):])
+        if got is None:
+            raise RuntimeError(
+                f"worker cpus={cpus} produced no BENCHJSON; stderr tail:\n"
+                + p.stderr[-2000:]
+            )
+        # min loop wall across reps: hypervisor steal and host noise
+        # can only ADD time, so the fastest rep is the closest to the
+        # machine's capability (same rationale as membw_probe's
+        # max-of-reps). Reps are whole fresh-JVM runs, never mixed
+        # per-step.
+        if best is None or got["loop_sec"] < best["loop_sec"]:
+            best = got
+    best["reps"] = reps
+    return best
 
 
 def synth_input(n_edges: int) -> str:
