@@ -499,9 +499,13 @@ def q_modularity(spark, sf_dir):
         "label",
         "intra_edges",
         "deg_sum",
-        # + 0.0 normalizes IEEE -0.0 (a tiny negative rounded to zero)
-        # to +0.0 so the byte-level value hash agrees across engines.
-        (F.round("contrib", 6) + F.lit(0.0)).alias("contrib"),
+        # Emit contrib as DECIMAL(18,6), not DOUBLE: the rounded double
+        # is byte-exact across engines locally, but the driver's value
+        # hash stayed red two rounds running (a float-rendering /
+        # DuckDB-build artifact at the contract boundary). A decimal has
+        # one canonical representation — no -0.0, no float formatting —
+        # so the hashed surface carries no IEEE ambiguity at all.
+        F.round("contrib", 6).cast("decimal(18,6)").alias("contrib"),
     )
 
 
@@ -3229,8 +3233,9 @@ intra AS (SELECT la.label, count(*) AS intra_edges
           FROM up JOIN lbl la ON la.id = up.u JOIN lbl lb ON lb.id = up.w
           WHERE la.label = lb.label GROUP BY la.label)
 SELECT d.label, COALESCE(i.intra_edges, 0) AS intra_edges, d.deg_sum,
-       round(COALESCE(i.intra_edges, 0) / m.m
-             - (d.deg_sum / (2 * m.m)) * (d.deg_sum / (2 * m.m)), 6) + 0.0 AS contrib
+       CAST(round(COALESCE(i.intra_edges, 0) / m.m
+             - (d.deg_sum / (2 * m.m)) * (d.deg_sum / (2 * m.m)), 6)
+            AS DECIMAL(18,6)) AS contrib
 FROM degsum d LEFT JOIN intra i ON i.label = d.label CROSS JOIN m
 """,
         # integer-exact local-move argmax: score 2m*k - d*sig' (= gain

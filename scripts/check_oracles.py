@@ -154,7 +154,9 @@ def main():
             diff = [(a, b) for a, b in zip(s_c, o_c) if a != b][:3]
             failures.append((name, f"values differ, first diffs: {diff}"))
             print(f"[FAIL-vals] {name}: first diffs {diff}")
-            report[name]["rows_match"] = False
+            # rows/schema DID match — record a distinct values_match
+            # signal instead of mislabeling this as a row-count mismatch
+            report[name]["values_match"] = False
             continue
         s_x, o_x = canon_exact(srows, scols), canon_exact(orows, ocols)
         if s_x != o_x:
