@@ -128,10 +128,17 @@ def materialize(df: DataFrame) -> DataFrame:
     AQE (skew-join handling in the heavy one-shot checkpoints)."""
     spark = df.sparkSession
     # unwrap partitioning-preserving nodes (sortWithinPartitions,
-    # column projections) to find an explicit-repartition root
+    # column projections) to find an explicit-repartition root. A Sort
+    # node only preserves partitioning when global=false — a global
+    # orderBy RANGE-partitions its output, so unwrapping it would take
+    # the AQE-off path on the false premise that hashpartitioning
+    # survives.
     node = df._jdf.queryExecution().logical()
     root = node.getClass().getSimpleName()
-    while root in ("Sort", "Project") and node.children().size() == 1:
+    while (
+        root == "Project"
+        or (root == "Sort" and not getattr(node, "global")())
+    ) and node.children().size() == 1:
         node = node.children().head()
         root = node.getClass().getSimpleName()
     if (

@@ -19,16 +19,17 @@ mapping of the textbook algorithm:
   the state merge (see ``_relax``): raw relaxations and carried state
   rows share one union + aggregation, one exchange, no sorts;
 - the loop-carried state is the VISITED set only — O(reached), not
-  O(V). The first 100M-edge protocol run carried a full O(V) dist
-  table and spent 17-25s per superstep materializing ~94M mostly-NULL
-  rows while the measured shuffle volume was near zero
-  (BENCH_SCALING_sssp.json); unreached vertices are implicit until
-  one final ``verts LEFT JOIN dist`` projection. At 10^12 documents a
-  BFS wave touches a tiny fraction of the graph for many supersteps —
-  per-superstep cost must track the wave, in state size as well as in
-  message volume. The state grows through the fused merge aggregation
-  — newly reached vertices are the rows whose carried ``_old`` is
-  NULL;
+  O(V) — and it is DELTA-REPRESENTED (``_delta_relax``): a compacted
+  ``base`` table plus one small materialized delta per superstep,
+  unioned at read. The first 100M-edge protocol run carried a full
+  O(V) dist table and spent 17-25s per superstep materializing ~94M
+  mostly-NULL rows (BENCH_SCALING_sssp.json); round 4's O(reached)
+  state still re-exchanged and re-checkpointed every visited row
+  every superstep. Now per-step exchange and checkpoint traffic are
+  O(delta + msgs); ``base`` is only streamed as the probe side of a
+  co-partitioned hash join and rewritten every ``_COMPACT_EVERY``
+  supersteps. Unreached vertices are implicit until one final
+  ``verts LEFT JOIN dist`` projection;
 - termination = empty frontier (the reference's ``__messages == 0``
   rule, ``pregel/master.lua``): Bellman-Ford relaxation is monotone,
   so extra supersteps after quiescence are no-ops — which is what
@@ -62,6 +63,20 @@ from .engine import (
 _PRUNE_B = 256
 _PRUNE_FRONTIER_CAP = 100_000
 
+# Below this edge count the scale machinery (dense numeric-id mapping,
+# `_b` bucket clustering + sortWithinPartitions) is skipped: its fixed
+# setup cost dominates small inputs (sssp_k8 at 591k edges measured
+# 5.9 s -> 10.0 s when the rework was unconditional, round-4 verdict)
+# while its benefits (16x cache-batch prune, 9x long-key probe) only
+# amortize on big loops. At 100M edges the same machinery cut the loop
+# 2.45x — the threshold keeps both regimes on their best path.
+_SMALL_GRAPH_EDGES = 10_000_000
+
+# Compact the delta chain (see _delta_relax) back into one base table
+# every this many supersteps: bounds the per-step union fan-in and the
+# plan size while keeping the per-step materialization O(delta).
+_COMPACT_EVERY = 8
+
 
 def _as_source_df(spark: SparkSession, sources: list | DataFrame) -> DataFrame:
     if isinstance(sources, DataFrame):
@@ -77,63 +92,95 @@ def _symmetrize(e: DataFrame, directed: bool) -> DataFrame:
     )
 
 
-def _frontier(state: DataFrame) -> DataFrame:
-    return state.filter("changed").select(F.col("id").alias("src"), "dist")
+def _frontier(delta: DataFrame) -> DataFrame:
+    """The next superstep's scatter set IS the last superstep's delta
+    (the rows whose distance improved) — O(delta), no full-state scan."""
+    return delta.select(F.col("id").alias("src"), "dist")
 
 
-def _relax(
-    state: DataFrame,
+def _delta_relax(
+    base: DataFrame,
+    deltas: list[DataFrame],
     frontier: DataFrame,
     links_t: DataFrame,
     stepm: StepMaterializer,
     superstep: int,
     obs: Observation | None = None,
 ) -> DataFrame:
-    """ONE Bellman-Ford superstep, shared by the in-memory and the
-    bucket-indexed loops (their results are asserted identical by the
-    sssp_k8 / sssp_k8_indexed contract rows — one body, no drift):
-    scatter ``dist + w`` out of the frontier, then min-combine AND
-    merge into the visited set in ONE union + ``groupBy(id)`` — raw
-    relaxations and carried state rows share the same map-side partial
-    min and the same hash exchange. O(visited + msgs), never O(V).
+    """ONE Bellman-Ford superstep over DELTA-REPRESENTED state, shared
+    by the in-memory and the bucket-indexed loops (their results are
+    asserted identical by the sssp_k8 / sssp_k8_indexed contract rows —
+    one body, no drift). The visited set is carried as
+    ``base ∪ deltas`` (union at read): ``base`` is the last compacted
+    full table, each ``delta`` holds only the rows one superstep
+    improved. Per superstep this
 
-    Round-4 shape change: the former ``groupBy(dst).min`` ⋈ FULL OUTER
-    merge planned as a SortMergeJoin whose output partitioning is
-    UNKNOWN, so every superstep re-exchanged and re-sorted the visited
-    set on top of the message exchange (the temporal loop measured
-    0.65 scaling at 2→8 on that shape vs a 0.94 PageRank control).
-    Union-then-aggregate has one exchange, no sorts, and its
-    ``hashpartitioning(id, n)`` output survives the checkpoint, so the
-    loop stays exchange-shaped like pagerank.py's. When ``obs`` is
-    given, the new-frontier count (the reference's ``__messages``
-    termination counter) rides the SAME eager-checkpoint action — no
-    separate per-superstep count job."""
+    - scatters ``dist + w`` out of the frontier (O(frontier edges)),
+    - min-combines messages WITH the uncompacted deltas in one union +
+      ``groupBy(id)`` — the exchange carries O(deltas + msgs) rows, not
+      O(reached),
+    - resolves against ``base`` with a co-partitioned shuffled-hash
+      LEFT join (both sides hashpartitioned on ``id`` — zero exchange;
+      the ``shuffle_hash`` hint puts the build side on the small
+      candidate set so ``base`` is only ever streamed), and
+    - materializes ONLY the improved rows.
+
+    Round-5 shape change (the round-4 verdict's delta-state item): the
+    previous merge unioned the FULL visited set into the aggregation,
+    so every superstep re-exchanged AND re-checkpointed O(reached)
+    rows even when a handful changed — the named residual behind the
+    0.736 2→8 scaling pair. Delta state cuts both: per-step exchange
+    and checkpoint traffic are O(delta + msgs); the O(reached) table
+    is only read (cached probe side) and only rewritten at compaction
+    points (every ``_COMPACT_EVERY`` steps). Distances are
+    byte-identical — ``min`` over the same candidate multiset. When
+    ``obs`` is given, the new-frontier count (the reference's
+    ``__messages`` termination counter) rides the SAME
+    eager-checkpoint action — no separate per-superstep count job."""
     raw = links_t.join(frontier, "src").select(
         F.col("dst").alias("id"),
-        F.lit(None).cast("double").alias("_old"),
+        F.lit(None).cast("double").alias("_dd"),
         (F.col("dist") + F.col("weight")).alias("_md"),
     )
-    merged = (
-        state.select(
-            "id",
-            F.col("dist").alias("_old"),
-            F.lit(None).cast("double").alias("_md"),
+    cand = raw
+    for d in deltas:
+        cand = cand.unionByName(
+            d.select(
+                "id",
+                F.col("dist").alias("_dd"),
+                F.lit(None).cast("double").alias("_md"),
+            )
         )
-        .unionByName(raw)
-        .groupBy("id")
-        .agg(F.min("_old").alias("_old"), F.min("_md").alias("_md"))
+    cand = cand.groupBy("id").agg(
+        F.min("_dd").alias("_dd"), F.min("_md").alias("_md")
     )
-    improved = F.col("_md").isNotNull() & (
-        F.col("_old").isNull() | (F.col("_md") < F.col("_old"))
+    j = cand.hint("shuffle_hash").join(
+        base.select("id", F.col("dist").alias("_db")), "id", "left_outer"
     )
-    plan = merged.select(
-        "id",
-        F.when(improved, F.col("_md")).otherwise(F.col("_old")).alias("dist"),
-        improved.alias("changed"),
-    )
+    # best distance through the previous superstep: min over the
+    # compacted base and the uncompacted deltas (least skips NULLs)
+    old = F.least("_dd", "_db")
+    improved = F.col("_md").isNotNull() & (old.isNull() | (F.col("_md") < old))
+    plan = j.filter(improved).select("id", F.col("_md").alias("dist"))
     if obs is not None:
-        plan = plan.observe(obs, F.sum(F.col("changed").cast("long")).alias("nf"))
+        plan = plan.observe(obs, F.count(F.lit(1)).alias("nf"))
     return stepm.step(plan, superstep)
+
+
+def _compact(base: DataFrame, deltas: list[DataFrame]) -> DataFrame:
+    """Fold the delta chain back into one full visited table:
+    ``min(dist)`` per id over base ∪ deltas (improvements are monotone
+    decreasing, so min IS the current value). One O(reached) exchange +
+    materialization, paid every ``_COMPACT_EVERY`` steps instead of
+    every step. Called inside ``bsp_loop_confs`` (AQE off), so the
+    aggregation's ``hashpartitioning(id, n)`` survives the checkpoint
+    and the next superstep's base join stays exchange-free."""
+    if not deltas:
+        return base
+    full = base.select("id", "dist")
+    for d in deltas:
+        full = full.unionByName(d.select("id", "dist"))
+    return materialize(full.groupBy("id").agg(F.min("dist").alias("dist")))
 
 
 def shortest_paths(
@@ -166,6 +213,14 @@ def shortest_paths(
     measured ~9x cheaper than string keys at equal row count — string
     hashing + equality dominate an otherwise-tiny superstep. Distances
     are id-representation-independent, so results are byte-identical.
+    Applied only above ``_SMALL_GRAPH_EDGES`` (together with the
+    cache-batch clustering): below it the fixed setup cost outweighs
+    the per-superstep savings (round-4 verdict, sssp_k8 5.9s -> 10.0s).
+
+    Checkpoints stamp the id mode (``meta["id_mode"]``) — a resume
+    whose recomputed mode (or a pre-stamp checkpoint) does not match
+    raises instead of silently join-coercing string ids against long
+    keys to NULL (= every vertex unreachable).
     """
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -178,54 +233,64 @@ def shortest_paths(
         directed,
     )
     src_df = _as_source_df(spark, sources)
-    vmap = None
-    if numeric_ids:
-        verts_all = (
-            vertices_from_edges(e).unionByName(src_df).distinct()
-        )
-        vmap = materialize(
-            order_preserving_id_map(verts_all, n_part).repartition(n_part, "vid")
-        )
-        e = (
-            e.join(vmap.withColumnRenamed("id", "src"), "src")
-            .select(F.col("vid").alias("src"), "dst", "weight")
-            .join(vmap.withColumnRenamed("id", "dst"), "dst")
-            .select("src", F.col("vid").alias("dst"), "weight")
-        )
-        src_df = src_df.join(vmap, "id").select(F.col("vid").alias("id"))
-    # `_b` + sortWithinPartitions: cluster the cached link table by a
-    # src-hash bucket so the in-memory columnar scan's per-batch
-    # min/max stats can SKIP batches under a `_b IN (...)` filter —
-    # the cache-resident twin of write_edge_buckets' directory pruning.
-    # Motivation (BENCH_SCALING_sssp.json, round 4): a BFS wave's
-    # near-empty early supersteps still paid a FULL O(E) cache scan to
-    # join a handful of frontier rows — 40-75 s/step at 2 cores on
-    # 100M edges with <2 MB of real work, and that fixed floor is what
-    # dragged 2→8 scaling to 0.77. sortWithinPartitions preserves the
-    # hash(src) layout, so loop joins stay exchange-free.
-    links = (
-        e.withColumn(
-            "_b", F.pmod(F.xxhash64("src"), F.lit(_PRUNE_B)).cast("int")
-        )
-        .repartition(n_part, "src")
-        .sortWithinPartitions("_b")
-        .persist()
-    )
-    links.count()
+    # Phase 1: persist the raw link table once; the count both fills
+    # the cache and sizes the setup machinery below.
+    links = e.repartition(n_part, "src").persist()
+    n_edges = links.count()
     # validated on the persisted table — no second upstream scan
     if links.filter(F.col("weight") < 0).limit(1).count() > 0:
         links.unpersist()
         raise ValueError("shortest_paths requires non-negative edge weights")
 
-    # visited-only state: just the sources at superstep 0
-    state = materialize(
-        src_df.select(
-            "id", F.lit(0.0).alias("dist"), F.lit(True).alias("changed")
-        ).repartition(n_part, "id")
+    vmap = None
+    if numeric_ids and n_edges >= _SMALL_GRAPH_EDGES:
+        # Phase 2 (big graphs only): rebuild the cached table on dense
+        # long ids, clustered by a src-hash bucket `_b` +
+        # sortWithinPartitions so the in-memory columnar scan's
+        # per-batch min/max stats can SKIP batches under a
+        # `_b IN (...)` filter — the cache-resident twin of
+        # write_edge_buckets' directory pruning. Motivation
+        # (BENCH_SCALING_sssp.json, round 4): a BFS wave's near-empty
+        # early supersteps still paid a FULL O(E) cache scan to join a
+        # handful of frontier rows — 40-75 s/step at 2 cores on 100M
+        # edges with <2 MB of real work. sortWithinPartitions preserves
+        # the hash(src) layout, so loop joins stay exchange-free. The
+        # rebuild is one pass over the already-cached phase-1 table.
+        verts_all = vertices_from_edges(links).unionByName(src_df).distinct()
+        vmap = materialize(
+            order_preserving_id_map(verts_all, n_part).repartition(n_part, "vid")
+        )
+        links2 = (
+            links.join(vmap.withColumnRenamed("id", "src"), "src")
+            .select(F.col("vid").alias("src"), "dst", "weight")
+            .join(vmap.withColumnRenamed("id", "dst"), "dst")
+            .select("src", F.col("vid").alias("dst"), "weight")
+            .withColumn(
+                "_b", F.pmod(F.xxhash64("src"), F.lit(_PRUNE_B)).cast("int")
+            )
+            .repartition(n_part, "src")
+            .sortWithinPartitions("_b")
+            .persist()
+        )
+        links2.count()
+        links.unpersist()
+        links = links2
+        src_df = src_df.join(vmap, "id").select(F.col("vid").alias("id"))
+    can_prune = "_b" in links.columns
+    id_mode = "numeric" if vmap is not None else "string"
+
+    # delta-represented visited set (see _delta_relax): base = last
+    # compacted full table, deltas = per-superstep improved rows, the
+    # newest delta IS the frontier. At superstep 0 all three are the
+    # source rows.
+    base = materialize(
+        src_df.select("id", F.lit(0.0).alias("dist")).repartition(n_part, "id")
     )
+    delta = base
+    deltas: list[DataFrame] = []
     stepm = StepMaterializer()
-    stepm.advance(state, superstep=1, persisted=False)
-    n_frontier = state.count()
+    stepm.advance(base, superstep=1, persisted=False)
+    n_frontier = base.count()
 
     start_step, metrics = 1, []
     part_metrics: list[dict] = []
@@ -235,8 +300,25 @@ def shortest_paths(
         latest = ckpt.latest()
         if latest is not None:
             st, _, meta = ckpt.load(spark, latest)
-            state = materialize(st.repartition(n_part, "id"))
-            stepm.advance(state, superstep=latest, persisted=False)
+            saved_mode = meta.get("id_mode")
+            if saved_mode != id_mode:
+                raise ValueError(
+                    f"checkpoint {checkpoint_dir}/{run_id} superstep {latest} "
+                    f"was written with id_mode={saved_mode!r} but this run "
+                    f"resolves to id_mode={id_mode!r} (numeric_ids="
+                    f"{numeric_ids}, {n_edges} edges); resuming across id "
+                    "representations would silently join string ids against "
+                    "long keys to NULL — rerun with matching settings or "
+                    "without resume"
+                )
+            base = materialize(
+                st.select("id", "dist").repartition(n_part, "id")
+            )
+            delta = materialize(
+                st.filter("changed").select("id", "dist").repartition(n_part, "id")
+            )
+            deltas = []
+            stepm.advance(base, superstep=latest, persisted=False)
             n_frontier = meta["frontier"]
             start_step = latest + 1
 
@@ -249,15 +331,15 @@ def shortest_paths(
                 superstep -= 1
                 break
             t0 = time.monotonic()
-            frontier = _frontier(state)
-            # cache-batch pruning (see the links build note): when the
+            frontier = _frontier(delta)
+            # cache-batch pruning (see the links rebuild note): when the
             # frontier is small, one tiny driver job lists its hash
             # buckets and the scatter scans only the matching cached
             # batches instead of all of E. Gated on the known frontier
             # count so large waves skip both the extra job and a
             # useless IN filter.
             links_t, b_scanned = links, None
-            if 0 < n_frontier <= _PRUNE_FRONTIER_CAP:
+            if can_prune and 0 < n_frontier <= _PRUNE_FRONTIER_CAP:
                 blist = [
                     r["b"]
                     for r in frontier.select(
@@ -273,19 +355,20 @@ def shortest_paths(
                     b_scanned = len(blist)
             # the new-frontier count rides the checkpoint action via
             # observe() unless per-partition I5 stats are on (those
-            # need one grouped pass over the cached state)
+            # need one grouped pass over the cached delta)
             obs = (
                 None
                 if partition_metrics
                 else Observation(f"nf_{run_id}_{superstep}")
             )
-            nxt = _relax(state, frontier, links_t, stepm, superstep, obs=obs)
+            nxt = _delta_relax(
+                base, deltas, frontier, links_t, stepm, superstep, obs=obs
+            )
             if partition_metrics:
                 prows = nxt.groupBy(F.spark_partition_id().alias("pid")).agg(
                     F.count(F.lit(1)).alias("rows"),
-                    F.sum(F.col("changed").cast("long")).alias("nf"),
                 ).collect()
-                n_frontier = sum(r["nf"] or 0 for r in prows)
+                n_frontier = sum(r["rows"] or 0 for r in prows)
                 part_metrics.extend(
                     {
                         "run_id": run_id,
@@ -298,7 +381,8 @@ def shortest_paths(
             else:
                 n_frontier = int(obs.get["nf"] or 0)
             stepm.advance(nxt, superstep)
-            state = nxt
+            delta = nxt
+            deltas.append(delta)
             m = {
                 "run_id": run_id,
                 "superstep": superstep,
@@ -309,10 +393,25 @@ def shortest_paths(
             if b_scanned is not None:
                 m["buckets_scanned"] = b_scanned
             metrics.append(m)
-            if ckpt is not None and (
+            checkpoint_due = ckpt is not None and (
                 superstep % checkpoint_interval == 0 or n_frontier == 0
-            ):
-                ckpt.save(superstep, state, meta={"frontier": n_frontier})
+            )
+            if len(deltas) >= _COMPACT_EVERY or checkpoint_due or n_frontier == 0:
+                base = _compact(base, deltas)
+                deltas = []
+            if checkpoint_due:
+                # saved schema matches the pre-delta layout: full
+                # (id, dist, changed) with changed marking the frontier
+                fl = base.join(
+                    delta.select("id", F.lit(True).alias("changed")),
+                    "id",
+                    "left_outer",
+                ).select("id", "dist", F.coalesce("changed", F.lit(False)).alias("changed"))
+                ckpt.save(
+                    superstep,
+                    fl,
+                    meta={"frontier": n_frontier, "id_mode": id_mode},
+                )
                 ckpt.append_metrics(spark, metrics[n_metrics_appended:])
                 n_metrics_appended = len(metrics)
                 ckpt.append_partition_metrics(spark, part_metrics[n_pmetrics_appended:])
@@ -320,12 +419,13 @@ def shortest_paths(
             if n_frontier == 0:
                 converged = True
                 break
+        full = _compact(base, deltas)
 
     # one final O(V) projection: every vertex (plus foreign sources),
     # NULL dist where the wave never arrived; numeric mode maps the
     # dense vids back to the original string ids
     verts = vertices_from_edges(links).unionByName(src_df).distinct()
-    out = verts.join(state.select("id", "dist"), "id", "left_outer").select(
+    out = verts.join(full.select("id", "dist"), "id", "left_outer").select(
         "id", "dist"
     )
     if vmap is not None:
@@ -403,10 +503,20 @@ def shortest_paths_indexed(
     :func:`shortest_paths` on the same (pre-symmetrized) edges;
     weights were validated non-negative at write time by the caller.
 
-    Trade vs the in-memory loop: each superstep pays a pruned DISK
-    scan instead of a full CACHE scan — strictly better once the edge
-    table exceeds memory or the frontier touches few buckets, which is
-    the regime this entry point exists for."""
+    Pruning-saturation cutover (round-4 verdict: after 2 supersteps of
+    a 100M-edge BFS the frontier touched 256/256 buckets, every later
+    superstep re-read AND re-shuffled 1.5-2.4 GB of parquet, and the
+    loop ran ~4x slower than the in-memory path): the per-step bucket
+    telemetry already knows when the index stops helping, so the first
+    time the frontier's bucket set exceeds HALF the directory the loop
+    loads the table ONCE into the in-memory loop's cached,
+    hash-partitioned layout (``repartition(n, src).persist()`` —
+    MEMORY_AND_DISK, so bigger-than-RAM tables spill instead of
+    thrashing the parquet decoder) and runs the remaining supersteps
+    exchange-free. Metrics rows carry ``mode`` ("indexed"/"cached")
+    and the cutover step records ``cutover: true``; a wave that never
+    saturates (the 100 TB regime this entry point exists for) never
+    pays the load."""
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     run_id = run_id or uuid.uuid4().hex[:12]
     buckets = spark.read.parquet(f"{path}/meta").collect()[0]["buckets"]
@@ -414,18 +524,19 @@ def shortest_paths_indexed(
 
     src_df = _as_source_df(spark, sources)
 
-    state = materialize(
-        src_df.select(
-            "id", F.lit(0.0).alias("dist"), F.lit(True).alias("changed")
-        ).repartition(n_part, "id")
+    base = materialize(
+        src_df.select("id", F.lit(0.0).alias("dist")).repartition(n_part, "id")
     )
+    delta = base
+    deltas: list[DataFrame] = []
     stepm = StepMaterializer()
-    stepm.advance(state, superstep=1, persisted=False)
-    n_frontier = state.count()
+    stepm.advance(base, superstep=1, persisted=False)
+    n_frontier = base.count()
 
     metrics: list[dict] = []
     converged = n_frontier == 0
     superstep = 0
+    cached_links: DataFrame | None = None
     shufd = ShuffleDelta(spark)
     with bsp_loop_confs(spark):
         for superstep in range(1, max_iter + 1):
@@ -433,48 +544,75 @@ def shortest_paths_indexed(
                 superstep -= 1
                 break
             t0 = time.monotonic()
-            frontier = _frontier(state)
-            # the frontier's bucket set: one tiny driver action over the
-            # cached O(frontier) state; the IN-list is a STATIC filter,
-            # so Spark prunes bucket directories at scan planning time
-            blist = [
-                r["b"]
-                for r in frontier.select(
-                    F.pmod(F.xxhash64("src"), F.lit(buckets)).alias("b")
-                )
-                .distinct()
-                .collect()
-            ]
-            links_t = spark.read.parquet(edges_path).filter(
-                F.col("bucket").isin(blist)
-            )
+            frontier = _frontier(delta)
+            cutover = False
+            if cached_links is None:
+                # the frontier's bucket set: one tiny driver action over
+                # the cached O(delta) frontier; the IN-list is a STATIC
+                # filter, so Spark prunes bucket directories at scan
+                # planning time
+                blist = [
+                    r["b"]
+                    for r in frontier.select(
+                        F.pmod(F.xxhash64("src"), F.lit(buckets)).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                if len(blist) > buckets // 2:
+                    cached_links = (
+                        spark.read.parquet(edges_path)
+                        .select("src", "dst", "weight")
+                        .repartition(n_part, "src")
+                        .persist()
+                    )
+                    cached_links.count()
+                    links_t, b_scanned, cutover = cached_links, buckets, True
+                else:
+                    links_t = spark.read.parquet(edges_path).filter(
+                        F.col("bucket").isin(blist)
+                    )
+                    b_scanned = len(blist)
+            else:
+                links_t, b_scanned = cached_links, buckets
             obs = Observation(f"nf_{run_id}_{superstep}")
-            nxt = _relax(state, frontier, links_t, stepm, superstep, obs=obs)
+            nxt = _delta_relax(
+                base, deltas, frontier, links_t, stepm, superstep, obs=obs
+            )
             n_frontier = int(obs.get["nf"] or 0)
             stepm.advance(nxt, superstep)
-            state = nxt
-            metrics.append(
-                {
-                    "run_id": run_id,
-                    "superstep": superstep,
-                    "wall_ms": (time.monotonic() - t0) * 1000,
-                    "frontier": n_frontier,
-                    "buckets_scanned": len(blist),
-                    **shufd.sample(),
-                }
-            )
+            delta = nxt
+            deltas.append(delta)
+            m = {
+                "run_id": run_id,
+                "superstep": superstep,
+                "wall_ms": (time.monotonic() - t0) * 1000,
+                "frontier": n_frontier,
+                "buckets_scanned": b_scanned,
+                "mode": "cached" if cached_links is not None else "indexed",
+                **shufd.sample(),
+            }
+            if cutover:
+                m["cutover"] = True
+            metrics.append(m)
+            if len(deltas) >= _COMPACT_EVERY or n_frontier == 0:
+                base = _compact(base, deltas)
+                deltas = []
             if n_frontier == 0:
                 converged = True
                 break
+        full = _compact(base, deltas)
 
     verts = vertices_from_edges(
         spark.read.parquet(edges_path).select("src", "dst")
     ).unionByName(src_df).distinct()
     out = materialize(
-        verts.join(state.select("id", "dist"), "id", "left_outer").select(
+        verts.join(full.select("id", "dist"), "id", "left_outer").select(
             "id", "dist"
         )
     )
+    if cached_links is not None:
+        cached_links.unpersist()
     return PregelResult(
         vertices=out,
         supersteps=superstep,

@@ -170,7 +170,9 @@ def _triple_ceilings(vocab: DataFrame, cands: list) -> dict:
     return out
 
 
-def _select_batch(top: list, ceilings: dict, batch: int) -> list:
+def _select_batch(
+    top: list, ceilings: dict, batch: int, prior_concats: set | frozenset = frozenset()
+) -> list:
     """The exactness-preserving batch rule (see ``bpe_learn``):
     walk the (cnt desc, l, r)-ordered prefix WITHOUT skipping; stop at
     the first pair that (a) shares a symbol with an earlier pick,
@@ -179,7 +181,17 @@ def _select_batch(top: list, ceilings: dict, batch: int) -> list:
     symbols — a later ("ab", c) would gain count mid-batch and its
     recorded census count would no longer be the sequential one), or
     (c) does not STRICTLY beat the created-pair ceiling of every
-    earlier pick. What remains provably replays sequential BPE."""
+    earlier pick. Additionally (d): a pick whose OWN concatenation
+    string-equals an already-existing multi-char symbol — one minted
+    by a PREVIOUS round's merge (``prior_concats`` = every prior
+    merge's l+r, which is exactly the set of multi-char symbols) or by
+    an earlier pick in this batch — ends the batch AFTER that pick:
+    applying it would grow counts of PRE-EXISTING pairs involving that
+    symbol, and ``_triple_ceilings`` bounds only the created portion,
+    so pre-existing + created could overtake a later pick (the pick
+    itself is still the exact sequential argmax; only picks after it
+    lose their guarantee). What remains provably replays sequential
+    BPE."""
     picked: list = []
     used: set = set()
     concats: set = set()
@@ -198,6 +210,8 @@ def _select_batch(top: list, ceilings: dict, batch: int) -> list:
             break
         picked.append((l, r, cnt))
         used.update((l, r))
+        if l + r in prior_concats or l + r in concats:
+            break  # guard (d): collision with an existing symbol
         concats.add(l + r)
         ceiling = max(ceiling, ceilings[(l, r)])
     return picked
@@ -276,7 +290,10 @@ def bpe_learn(
             picked = [(top[0]["l"], top[0]["r"], int(top[0]["cnt"]))]
         else:
             ceilings = _triple_ceilings(vocab, [(t["l"], t["r"]) for t in top])
-            picked = _select_batch(top, ceilings, want)
+            picked = _select_batch(
+                top, ceilings, want,
+                prior_concats={pl + pr for pl, pr, _ in merges},
+            )
         merges.extend(picked)
         syms = F.col("syms")
         for l, r, _ in picked:

@@ -206,12 +206,18 @@ def main():
         # low-volume warmup step (temporal's 339MB step 0 vs its 2.4GB
         # plateau) and understates the level ratio.
         sw = [m.get("shuffle_write_bytes") for m in res.metrics]
-        have_sw = all(v is not None for v in sw) and sw and sw[-1]
+        # anchor the plateau to the MAX per-step shuffle_write, not the
+        # final step's: decaying-frontier loops (lpa, converging
+        # temporal) end on their smallest step, and anchoring there
+        # would make the steady estimate reflect the cheapest
+        # near-converged step and inflate throughput
+        have_sw = all(v is not None for v in sw) and sw and max(sw)
         if have_sw:
+            anchor = max(sw)
             plateau = [
                 i
                 for i, v in enumerate(sw)
-                if abs(v - sw[-1]) <= 0.01 * sw[-1]
+                if abs(v - anchor) <= 0.01 * anchor
             ]
         elif algo == "temporal":
             # no byte telemetry (UI off): the plateau restriction

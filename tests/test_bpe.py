@@ -180,3 +180,41 @@ def test_batched_learn_vocab_matches(spark):
     a = sorted((r["word"], tuple(r["syms"])) for r in seq.vocab.collect())
     b = sorted((r["word"], tuple(r["syms"])) for r in bat.vocab.collect())
     assert a == b
+
+
+def test_select_batch_cuts_on_prior_round_concat_collision():
+    """Guard (d) of _select_batch: a pick whose concatenation equals a
+    symbol minted in an EARLIER round (via a different split — 'abc'
+    from ('ab','c') while ('a','bc') is the pick) must END the batch
+    after that pick: pre-existing pairs involving the symbol gain
+    count mid-batch beyond the created-pair ceilings, so later picks
+    lose their sequential-equivalence guarantee. Greedy-merge dynamics
+    may make this unreachable from a real corpus, so the guard is
+    pinned directly."""
+    from pregel_spark.pipeline.bpe import _select_batch
+
+    top = [
+        {"l": "a", "r": "bc", "cnt": 100},   # concat 'abc' collides
+        {"l": "x", "r": "y", "cnt": 90},     # would otherwise qualify
+        {"l": "p", "r": "q", "cnt": 80},
+    ]
+    ceilings = {("a", "bc"): 10, ("x", "y"): 10, ("p", "q"): 10}
+    # without the collision the batch takes all three
+    assert _select_batch(top, ceilings, 8, prior_concats=set()) == [
+        ("a", "bc", 100), ("x", "y", 90), ("p", "q", 80)
+    ]
+    # with 'abc' already minted by a prior round, the batch cuts AFTER
+    # the colliding pick (the pick itself is the exact argmax)
+    assert _select_batch(top, ceilings, 8, prior_concats={"abc"}) == [
+        ("a", "bc", 100)
+    ]
+    # same collision minted WITHIN the batch: ('a','bc') then ('ab','c')
+    top2 = [
+        {"l": "a", "r": "bc", "cnt": 100},
+        {"l": "ab", "r": "c", "cnt": 90},
+        {"l": "p", "r": "q", "cnt": 80},
+    ]
+    ceilings2 = {("a", "bc"): 10, ("ab", "c"): 10, ("p", "q"): 10}
+    assert _select_batch(top2, ceilings2, 8) == [
+        ("a", "bc", 100), ("ab", "c", 90)
+    ]

@@ -581,3 +581,37 @@ def test_pseudo_diameter_cycle_and_disconnected(spark):
     # argmax tie-break: min id among the dist-3 vertices of c0 -> c3
     assert row.far_id == "c3"
     assert row.far_ecc == 3 and row.diameter_lb == 3
+
+
+def test_sssp_resume_rejects_id_mode_mismatch(spark, tmp_path):
+    """A checkpoint written under one id representation must not be
+    silently joined against the other (string vs long keys cast-coerce
+    to NULL = every vertex unreachable). The id mode is stamped into
+    the checkpoint meta on save and validated on resume."""
+    import json
+    import os
+
+    wpairs = [(f"c{i}", f"c{i+1}", 1.0) for i in range(12)]
+    e = wedges_df(spark, wpairs)
+    ck = str(tmp_path / "sssp_ck_mode")
+    shortest_paths(
+        spark, e, sources=["c0"], max_iter=3,
+        checkpoint_dir=ck, checkpoint_interval=1, run_id="r1",
+    )
+    # tamper the stamp to simulate a checkpoint from a numeric-id run
+    run_dir = os.path.join(ck, "r1")
+    steps = sorted(
+        d for d in os.listdir(run_dir) if d.startswith("superstep=")
+    )
+    man_path = os.path.join(run_dir, steps[-1], "_manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    assert man["meta"]["id_mode"] == "string"
+    man["meta"]["id_mode"] = "numeric"
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="id_mode"):
+        shortest_paths(
+            spark, e, sources=["c0"], checkpoint_dir=ck, run_id="r1",
+            resume=True,
+        )
