@@ -16,8 +16,9 @@ mapping of the textbook algorithm:
   O(edges out of the frontier), the textbook Pregel win;
 - the min-combiner (A1) is a ``groupBy(id).min`` with map-side partial
   aggregation, so hub fan-in collapses before the shuffle — FUSED with
-  the state merge (see ``_relax``): raw relaxations and carried state
-  rows share one union + aggregation, one exchange, no sorts;
+  the delta merge (see ``_delta_relax``): raw relaxations and the
+  uncompacted deltas share one union + aggregation, one exchange, no
+  sorts;
 - the loop-carried state is the VISITED set only — O(reached), not
   O(V) — and it is DELTA-REPRESENTED (``_delta_relax``): a compacted
   ``base`` table plus one small materialized delta per superstep,
@@ -233,35 +234,31 @@ def shortest_paths(
         directed,
     )
     src_df = _as_source_df(spark, sources)
-    # Phase 1: persist the raw link table once; the count both fills
-    # the cache and sizes the setup machinery below.
-    links = e.repartition(n_part, "src").persist()
-    n_edges = links.count()
-    # validated on the persisted table — no second upstream scan
-    if links.filter(F.col("weight") < 0).limit(1).count() > 0:
-        links.unpersist()
-        raise ValueError("shortest_paths requires non-negative edge weights")
-
+    # size the setup machinery with ONE cheap count of the INPUT table
+    # (a plain count over a parquet-backed frame is footer-served or a
+    # single no-shuffle scan — measured far cheaper than persisting a
+    # throwaway string-id cache first, which cost ~90 s of setup at
+    # 100M edges / 2 cores)
+    n_edges = edges.count() * (1 if directed else 2)
     vmap = None
     if numeric_ids and n_edges >= _SMALL_GRAPH_EDGES:
-        # Phase 2 (big graphs only): rebuild the cached table on dense
-        # long ids, clustered by a src-hash bucket `_b` +
-        # sortWithinPartitions so the in-memory columnar scan's
-        # per-batch min/max stats can SKIP batches under a
-        # `_b IN (...)` filter — the cache-resident twin of
-        # write_edge_buckets' directory pruning. Motivation
-        # (BENCH_SCALING_sssp.json, round 4): a BFS wave's near-empty
-        # early supersteps still paid a FULL O(E) cache scan to join a
-        # handful of frontier rows — 40-75 s/step at 2 cores on 100M
-        # edges with <2 MB of real work. sortWithinPartitions preserves
-        # the hash(src) layout, so loop joins stay exchange-free. The
-        # rebuild is one pass over the already-cached phase-1 table.
-        verts_all = vertices_from_edges(links).unionByName(src_df).distinct()
+        # Big graphs: build the cached table on dense long ids,
+        # clustered by a src-hash bucket `_b` + sortWithinPartitions so
+        # the in-memory columnar scan's per-batch min/max stats can
+        # SKIP batches under a `_b IN (...)` filter — the
+        # cache-resident twin of write_edge_buckets' directory pruning.
+        # Motivation (BENCH_SCALING_sssp.json, round 4): a BFS wave's
+        # near-empty early supersteps still paid a FULL O(E) cache scan
+        # to join a handful of frontier rows — 40-75 s/step at 2 cores
+        # on 100M edges with <2 MB of real work. sortWithinPartitions
+        # preserves the hash(src) layout, so loop joins stay
+        # exchange-free.
+        verts_all = vertices_from_edges(e).unionByName(src_df).distinct()
         vmap = materialize(
             order_preserving_id_map(verts_all, n_part).repartition(n_part, "vid")
         )
-        links2 = (
-            links.join(vmap.withColumnRenamed("id", "src"), "src")
+        e = (
+            e.join(vmap.withColumnRenamed("id", "src"), "src")
             .select(F.col("vid").alias("src"), "dst", "weight")
             .join(vmap.withColumnRenamed("id", "dst"), "dst")
             .select("src", F.col("vid").alias("dst"), "weight")
@@ -270,12 +267,16 @@ def shortest_paths(
             )
             .repartition(n_part, "src")
             .sortWithinPartitions("_b")
-            .persist()
         )
-        links2.count()
-        links.unpersist()
-        links = links2
         src_df = src_df.join(vmap, "id").select(F.col("vid").alias("id"))
+        links = e.persist()
+    else:
+        links = e.repartition(n_part, "src").persist()
+    links.count()
+    # validated on the persisted table — no second upstream scan
+    if links.filter(F.col("weight") < 0).limit(1).count() > 0:
+        links.unpersist()
+        raise ValueError("shortest_paths requires non-negative edge weights")
     can_prune = "_b" in links.columns
     id_mode = "numeric" if vmap is not None else "string"
 
@@ -383,6 +384,16 @@ def shortest_paths(
             stepm.advance(nxt, superstep)
             delta = nxt
             deltas.append(delta)
+            checkpoint_due = ckpt is not None and (
+                superstep % checkpoint_interval == 0 or n_frontier == 0
+            )
+            compacted = False
+            if len(deltas) >= _COMPACT_EVERY or checkpoint_due or n_frontier == 0:
+                # inside the step timer: compaction is loop work and its
+                # wall is charged to the superstep that triggered it
+                base = _compact(base, deltas)
+                deltas = []
+                compacted = True
             m = {
                 "run_id": run_id,
                 "superstep": superstep,
@@ -390,15 +401,11 @@ def shortest_paths(
                 "frontier": n_frontier,
                 **shufd.sample(),
             }
+            if compacted:
+                m["compacted"] = True
             if b_scanned is not None:
                 m["buckets_scanned"] = b_scanned
             metrics.append(m)
-            checkpoint_due = ckpt is not None and (
-                superstep % checkpoint_interval == 0 or n_frontier == 0
-            )
-            if len(deltas) >= _COMPACT_EVERY or checkpoint_due or n_frontier == 0:
-                base = _compact(base, deltas)
-                deltas = []
             if checkpoint_due:
                 # saved schema matches the pre-delta layout: full
                 # (id, dist, changed) with changed marking the frontier
@@ -583,6 +590,11 @@ def shortest_paths_indexed(
             stepm.advance(nxt, superstep)
             delta = nxt
             deltas.append(delta)
+            compacted = False
+            if len(deltas) >= _COMPACT_EVERY or n_frontier == 0:
+                base = _compact(base, deltas)
+                deltas = []
+                compacted = True
             m = {
                 "run_id": run_id,
                 "superstep": superstep,
@@ -592,12 +604,11 @@ def shortest_paths_indexed(
                 "mode": "cached" if cached_links is not None else "indexed",
                 **shufd.sample(),
             }
+            if compacted:
+                m["compacted"] = True
             if cutover:
                 m["cutover"] = True
             metrics.append(m)
-            if len(deltas) >= _COMPACT_EVERY or n_frontier == 0:
-                base = _compact(base, deltas)
-                deltas = []
             if n_frontier == 0:
                 converged = True
                 break

@@ -57,3 +57,21 @@ def test_materialize_join_reuses_checkpoint_partitioning(spark):
     # exactly one Exchange (the non-checkpointed side); the scan of the
     # checkpointed RDD must join exchange-free
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_materialize_preserves_swp_but_not_global_sort(spark):
+    """The unwrap loop in materialize() treats only NON-global Sort
+    nodes (sortWithinPartitions) as partitioning-preserving. A global
+    orderBy is also a Sort but RANGE-partitions its output — unwrapping
+    it would take the AQE-off path on the false premise that
+    hashpartitioning survives the checkpoint."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 50).cast("string").alias("k"),
+        (F.col("id") % 7).alias("x"),
+    )
+    swp = materialize(df.repartition(8, "k").sortWithinPartitions("x"))
+    part = swp._jdf.queryExecution().logical().outputPartitioning().toString()
+    assert "hashpartitioning" in part, part
+    srt = materialize(df.repartition(8, "k").orderBy("x"))
+    part2 = srt._jdf.queryExecution().logical().outputPartitioning().toString()
+    assert "hashpartitioning" not in part2, part2
