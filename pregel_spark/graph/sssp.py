@@ -460,26 +460,46 @@ def write_edge_buckets(
     directed: bool = True,
 ) -> None:
     """The SSSP 100 TB path, step 1 (same shape as the IVF index,
-    ``pipeline/simsearch.write_ivf_index``): symmetrize/cast ONCE and
-    write the edge table parquet-partitioned by
-    ``bucket = pmod(xxhash64(src), buckets)`` plus a meta sidecar.
+    ``pipeline/simsearch.write_ivf_index``): symmetrize/cast ONCE,
+    map string ids to DENSE LONGS once (the ``order_preserving_id_map``
+    every big in-memory loop builds per-run — here it is part of the
+    static corpus layout and amortizes over every query against the
+    index), and write
 
-    Why: at 10^12 documents the edge table does not fit in executor
-    memory, so every superstep of a plain BSP loop re-scans the full
-    table from storage even when the frontier is a handful of vertices
-    (measured on the 100M-edge protocol: ~20s/superstep of pure O(E)
-    scan while the frontier shuffle was ~0 MB). A frontier that
-    touches f of the B buckets prunes the scan to f/B of the bytes —
-    the inverted-list trick, expressed as parquet partition pruning.
-    """
+    - ``edges`` — (src, dst, weight) in vid space, parquet-partitioned
+      by ``bucket = pmod(xxhash64(src), buckets)``;
+    - ``vmap`` — (id string, vid long), for source mapping at query
+      entry and id map-back at exit;
+    - ``meta`` — bucket count.
+
+    Why buckets: at 10^12 documents the edge table does not fit in
+    executor memory, so every superstep of a plain BSP loop re-scans
+    the full table from storage even when the frontier is a handful of
+    vertices (measured on the 100M-edge protocol: ~20s/superstep of
+    pure O(E) scan while the frontier shuffle was ~0 MB). A frontier
+    that touches f of the B buckets prunes the scan to f/B of the
+    bytes — the inverted-list trick, expressed as parquet partition
+    pruning. Why numeric ids in the layout: the loop's per-superstep
+    floor is the link-table probe, and a long-key probe measured ~9x
+    cheaper than string keys (round 4) — storing strings would make
+    every query pay a per-RUN 2x-join remap or run 3-5x slower
+    post-cutover (measured, round 5)."""
     e = _symmetrize(
         edges.select("src", "dst", F.col("weight").cast("double").alias("weight")),
         directed,
     )
+    spark = edges.sparkSession
+    vmap = materialize(order_preserving_id_map(vertices_from_edges(e)))
+    vmap.write.mode("overwrite").parquet(f"{path}/vmap")
+    e = (
+        e.join(vmap.withColumnRenamed("id", "src"), "src")
+        .select(F.col("vid").alias("src"), "dst", "weight")
+        .join(vmap.withColumnRenamed("id", "dst"), "dst")
+        .select("src", F.col("vid").alias("dst"), "weight")
+    )
     e.withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(buckets))).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{path}/edges")
-    spark = edges.sparkSession
     # validate on the WRITTEN data (one cheap min over parquet stats)
     # so shortest_paths_indexed can rely on non-negative weights
     wmin = (
@@ -529,7 +549,24 @@ def shortest_paths_indexed(
     buckets = spark.read.parquet(f"{path}/meta").collect()[0]["buckets"]
     edges_path = f"{path}/edges"
 
-    src_df = _as_source_df(spark, sources)
+    # the index stores edges in dense-long vid space (see
+    # write_edge_buckets); sources map in at entry, results map back at
+    # exit. Foreign sources (ids absent from the graph) get
+    # deterministic NEGATIVE vids (never colliding with the index's
+    # dense non-negative space) so they still appear in the output.
+    vmap = spark.read.parquet(f"{path}/vmap")
+    src_in = _as_source_df(spark, sources)
+    fmap = order_preserving_id_map(
+        src_in.join(vmap, "id", "left_anti").select("id")
+    ).select("id", (-1 - F.col("vid")).alias("vid"))
+    allmap = materialize(
+        vmap.unionByName(fmap).repartition(n_part, "vid")
+    )
+    src_df = materialize(
+        src_in.join(allmap, "id")
+        .select(F.col("vid").alias("id"))
+        .repartition(n_part, "id")
+    )
 
     base = materialize(
         src_df.select("id", F.lit(0.0).alias("dist")).repartition(n_part, "id")
@@ -567,10 +604,18 @@ def shortest_paths_indexed(
                     .collect()
                 ]
                 if len(blist) > buckets // 2:
+                    # same layout as the in-memory big-graph path:
+                    # already-numeric keys from the index, `_b` batch
+                    # clustering for the post-cutover tail's pruning
                     cached_links = (
                         spark.read.parquet(edges_path)
                         .select("src", "dst", "weight")
+                        .withColumn(
+                            "_b",
+                            F.pmod(F.xxhash64("src"), F.lit(_PRUNE_B)).cast("int"),
+                        )
                         .repartition(n_part, "src")
+                        .sortWithinPartitions("_b")
                         .persist()
                     )
                     cached_links.count()
@@ -582,6 +627,21 @@ def shortest_paths_indexed(
                     b_scanned = len(blist)
             else:
                 links_t, b_scanned = cached_links, buckets
+                # cache-batch pruning for the decaying tail (same gate
+                # as the in-memory loop)
+                if 0 < n_frontier <= _PRUNE_FRONTIER_CAP:
+                    blist2 = [
+                        r["b"]
+                        for r in frontier.select(
+                            F.pmod(F.xxhash64("src"), F.lit(_PRUNE_B))
+                            .cast("int")
+                            .alias("b")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    if len(blist2) <= _PRUNE_B // 2:
+                        links_t = cached_links.filter(F.col("_b").isin(blist2))
             obs = Observation(f"nf_{run_id}_{superstep}")
             nxt = _delta_relax(
                 base, deltas, frontier, links_t, stepm, superstep, obs=obs
@@ -617,10 +677,14 @@ def shortest_paths_indexed(
     verts = vertices_from_edges(
         spark.read.parquet(edges_path).select("src", "dst")
     ).unionByName(src_df).distinct()
+    out = verts.join(full.select("id", "dist"), "id", "left_outer").select(
+        "id", "dist"
+    )
+    # map dense vids back to the original string ids
     out = materialize(
-        verts.join(full.select("id", "dist"), "id", "left_outer").select(
-            "id", "dist"
-        )
+        out.withColumnRenamed("id", "_v")
+        .join(allmap.withColumnRenamed("vid", "_v"), "_v")
+        .select("id", "dist")
     )
     if cached_links is not None:
         cached_links.unpersist()

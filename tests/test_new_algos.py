@@ -419,10 +419,17 @@ def test_sssp_indexed_matches_inline_and_prunes(spark, tmp_path):
     assert all(m["buckets_scanned"] <= 16 for m in indexed.metrics)
 
     # the pruned scan must touch ONLY the frontier's bucket dirs: for a
-    # single-source step the filter keeps exactly one bucket
+    # single-source step the filter keeps exactly one bucket. The index
+    # stores dense vids (write_edge_buckets), so the bucket hash is
+    # over n0's vid, via the index's own vmap sidecar.
+    vid0 = (
+        spark.read.parquet(f"{path}/vmap")
+        .filter(F.col("id") == "n0")
+        .collect()[0]["vid"]
+    )
     blist = [
         r["b"]
-        for r in spark.createDataFrame([("n0",)], "src string")
+        for r in spark.createDataFrame([(vid0,)], "src long")
         .select(F.pmod(F.xxhash64("src"), F.lit(16)).alias("b"))
         .collect()
     ]
